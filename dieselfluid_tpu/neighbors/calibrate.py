@@ -1,0 +1,40 @@
+"""Rest-density calibration from an initial particle configuration.
+
+Real SPH codes set the rest density d0 to the summation density of the
+undeformed lattice so the Tait EOS sees zero pressure at rest and responds
+immediately to compression. The reference instead hardcodes d0 = N/volume
+(ref: model/sph/fluid.go:55) against a 100-sample LSH probe — with its h=1
+kernel that undersamples density so badly that pressure permanently clamps to
+zero (TaitEos clamps rho < d0, ref: model/model.go). This module closes that
+gap for physical runs.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from dieselfluid_tpu.config import FluidParams
+from dieselfluid_tpu.models import field as F
+from dieselfluid_tpu.neighbors.bruteforce import brute_force_neighborhood
+
+
+def calibrate_rest_density(pos: jnp.ndarray, params: FluidParams,
+                           k: int = 64, include_self: bool = False) -> FluidParams:
+    """Return params with d0 set to the max summation density of `pos`.
+
+    The default include_self=False matches the discrete density the solver
+    actually computes (self term excluded, ref: sph_field.go:163) so interior
+    particles sit exactly at d0 at rest: zero pressure at rest, immediate
+    repulsion under compression. Set include_self=True only if the consuming
+    density also adds m*W(0).
+    """
+    nb = brute_force_neighborhood(pos, pos, params.h, k)
+    rho = F.density(pos, nb, params)
+    if include_self:
+        from dieselfluid_tpu.ops.smoothing import KernelCoeffs, w0
+
+        rho = rho + params.mass * w0(KernelCoeffs.build(params.h))
+    d0 = float(jnp.max(rho))
+    # Rescale Tait stiffness with d0 so the sound speed c = sqrt(w/d0) the
+    # params were built with is preserved.
+    return params.replace(d0=d0, tait_w=params.tait_w * d0 / params.d0)

@@ -1,0 +1,18 @@
+"""Test env: force an 8-device virtual CPU platform so sharding tests run anywhere.
+
+The container's sitecustomize pre-imports jax and registers the axon TPU
+backend in every interpreter, so JAX_PLATFORMS in the environment is not
+enough — switch platforms via jax.config after import. XLA_FLAGS still works
+because the CPU client initializes lazily on first use.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)

@@ -69,6 +69,18 @@ def density(pos, nb: Neighborhood, params: FluidParams, source_pos=None):
     return params.mass * jnp.sum(w * nb.mask, axis=-1)
 
 
+def density_with_self(pos, nb: Neighborhood, params: FluidParams, source_pos=None):
+    """Physically-standard summation density INCLUDING the m W(0) self term.
+
+    The physical solvers use this everywhere so the rest state is consistent:
+    an isolated particle has rho = m W0, not 0. (The reference excludes self
+    in the discrete density but adds an unscaled W0 in the continuous one —
+    `density`/`density_at` preserve those parity semantics.)
+    """
+    k = KernelCoeffs.build(params.h)
+    return density(pos, nb, params, source_pos) + params.mass * w0(k)
+
+
 def density_at(query_pos, source_pos, nb: Neighborhood, params: FluidParams):
     """Continuous density at arbitrary positions, *with* the W0 self term.
 

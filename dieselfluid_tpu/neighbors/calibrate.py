@@ -19,14 +19,14 @@ from dieselfluid_tpu.neighbors.bruteforce import brute_force_neighborhood
 
 
 def calibrate_rest_density(pos: jnp.ndarray, params: FluidParams,
-                           k: int = 64, include_self: bool = False) -> FluidParams:
+                           k: int = 64, include_self: bool = True) -> FluidParams:
     """Return params with d0 set to the max summation density of `pos`.
 
-    The default include_self=False matches the discrete density the solver
-    actually computes (self term excluded, ref: sph_field.go:163) so interior
-    particles sit exactly at d0 at rest: zero pressure at rest, immediate
-    repulsion under compression. Set include_self=True only if the consuming
-    density also adds m*W(0).
+    The default include_self=True matches the self-term-inclusive density the
+    physical solvers compute (field.density_with_self) so interior particles
+    sit exactly at d0 at rest: zero pressure at rest, immediate repulsion
+    under compression. Set include_self=False when calibrating for the
+    reference-parity operators (self term excluded, ref: sph_field.go:163).
     """
     nb = brute_force_neighborhood(pos, pos, params.h, k)
     rho = F.density(pos, nb, params)

@@ -50,7 +50,7 @@ def local_wcsph_frame(
     all_pos = jax.lax.all_gather(state.pos, axis, tiled=True)
     nb = brute_force_neighborhood(state.pos, all_pos, params.h, k, self_offset=offset)
 
-    rho = F.density(state.pos, nb, params, source_pos=all_pos)
+    rho = F.density_with_self(state.pos, nb, params, source_pos=all_pos)
     pressure = tait_eos(rho, d0, params.p0, gamma, w)
     all_rho = jax.lax.all_gather(rho, axis, tiled=True)
     all_pressure = jax.lax.all_gather(pressure, axis, tiled=True)

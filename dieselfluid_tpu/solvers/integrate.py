@@ -51,21 +51,27 @@ def box_collide(
     lo=(-1.0, -1.0, -1.0),
     hi=(1.0, 1.0, 1.0),
     restitution: float = 0.3,
+    friction: float = 0.1,
 ) -> FluidState:
     """Axis-aligned box container: clamp positions, reflect + damp velocities.
 
     The reference declares mesh colliders but never wires them in
     (ref: model/sph/fluid.go:70 commented out; geom/interfaces.go mismatch
     documented in SURVEY.md) — a box container is required for a dam break to
-    be bounded, so this is a deliberate capability addition.
+    be bounded, so this is a deliberate capability addition. `friction` damps
+    the tangential velocity of wall-contact particles; without it, settled
+    particles ping-pong between wall clamp and pressure kicks and slowly gain
+    energy (observed in verification).
     """
     lo = jnp.asarray(lo, jnp.float32)
     hi = jnp.asarray(hi, jnp.float32)
     below = state.pos < lo
     above = state.pos > hi
     hit = below | above
+    any_hit = jnp.any(hit, axis=-1, keepdims=True)
     pos = jnp.clip(state.pos, lo, hi)
     vel = jnp.where(hit, -restitution * state.vel, state.vel)
+    vel = jnp.where(any_hit & ~hit, (1.0 - friction) * vel, vel)
     return state._replace(pos=pos, vel=vel)
 
 

@@ -54,7 +54,7 @@ def compute_forces(
     d0 = params.d0 if materials is None else materials.d0
     gamma = params.tait_gamma if materials is None else materials.tait_gamma
     w = params.tait_w if materials is None else materials.tait_w
-    rho = F.density(state.pos, nb, params)
+    rho = F.density_with_self(state.pos, nb, params)
     pressure = tait_eos(rho, d0, params.p0, gamma, w)
     visc = mu * F.laplacian_force(state.pos, state.vel, rho, nb, params)
     f_p = F.pressure_force(state.pos, rho, pressure, nb, params)

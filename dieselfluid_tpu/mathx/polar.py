@@ -60,7 +60,10 @@ def ray_sphere_intersect(ray_dir, ray_origin, sphere_origin, radius):
     c = jnp.sum(oc * oc, axis=-1) - radius * radius
     disc = b * b - 4.0 * a * c
     hit = disc >= 0
-    sq = jnp.sqrt(jnp.where(hit, disc, 0.0))
+    # where-trick: substitute 1.0 (not 0) on miss lanes so sqrt'(0)=inf can't
+    # leak NaN into gradients through the masked branch.
+    sq = jnp.sqrt(jnp.where(hit, jnp.maximum(disc, 1e-12), 1.0))
+    sq = jnp.where(hit, sq, 0.0)
     t1 = (-b - sq) / (2.0 * a)
     t2 = (-b + sq) / (2.0 * a)
     zero = jnp.zeros_like(t1)

@@ -1,0 +1,146 @@
+"""Differentiable sphere-splat renderer for particle fluids.
+
+Replaces the reference's GL point-sprite pipeline (ref: render/glr/
+glr_darwin.go:481-491 DrawArrays(GL_POINTS) + data/shaders/glsl/render/
+particle_fluid/*.{vert,frag}) with a pure-jnp scatter rasterizer:
+
+  * particles project through the camera (vert: gl_Position = mvp*view*model*p)
+  * each particle splats a soft sphere footprint onto a PATCH x PATCH pixel
+    neighborhood (the GL path's gl_PointSize=25 sprite)
+  * per-pixel sphere normals are faked from the patch offset exactly like the
+    reference fragment shader (frag: z = sqrt(1-x^2-y^2), color = n*0.5+0.5)
+  * depth resolution uses weighted-blended order-independent transparency
+    (exp-falloff depth weights) — order-independent, so it shards and
+    differentiates cleanly; no sort, no Z-buffer discontinuity.
+
+Gradients flow to particle positions (through the projected center and
+footprint weights), radii, and colors — BASELINE config 3's "pixel-loss grads
+to positions".
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dieselfluid_tpu.render.camera import Camera
+
+
+class SplatImage(NamedTuple):
+    color: jnp.ndarray     # (H, W, 3) composited
+    alpha: jnp.ndarray     # (H, W) coverage
+    depth: jnp.ndarray     # (H, W) weighted mean depth
+
+
+def _project(cam: Camera, pos: jnp.ndarray, width: int, height: int):
+    """Particle positions -> pixel centers (u, v), view depth, pixel radius."""
+    view = cam.view_matrix()
+    vh = jnp.concatenate([pos, jnp.ones((pos.shape[0], 1), pos.dtype)], axis=-1)
+    v = jnp.einsum("ij,nj->ni", view, vh)[:, :3]
+    depth = v[:, 2]                                   # along +front
+    fy = (height / 2.0) / jnp.tan(jnp.deg2rad(cam.fov_deg) / 2.0)
+    fx = fy
+    safe_z = jnp.maximum(depth, 1e-4)
+    u = width / 2.0 + v[:, 0] / safe_z * fx
+    vpix = height / 2.0 - v[:, 1] / safe_z * fy
+    return u, vpix, depth, fy
+
+
+@partial(jax.jit, static_argnames=("width", "height", "patch"))
+def splat_particles(
+    pos: jnp.ndarray,                    # (N, 3) world positions
+    radius: jnp.ndarray,                 # scalar or (N,) world-space radii
+    cam: Camera,
+    width: int = 256,
+    height: int = 256,
+    colors: Optional[jnp.ndarray] = None,   # (N, 3) or None -> normal shading
+    background=(0.1, 0.1, 0.1),
+    patch: int = 9,
+    sharpness: float = 12.0,
+    depth_falloff: float = 2.0,
+) -> SplatImage:
+    """Rasterize particles as soft spheres. Fully differentiable.
+
+    background matches the reference fragment shader's black_col outside the
+    sprite disc (frag:12).
+    """
+    n = pos.shape[0]
+    radius = jnp.broadcast_to(jnp.asarray(radius, jnp.float32), (n,))
+    u, v, depth, focal = _project(cam, pos, width, height)
+    in_front = depth > 1e-3
+    pix_r = radius * focal / jnp.maximum(depth, 1e-3)
+    pix_r = jnp.clip(pix_r, 0.75, patch / 2.0)
+
+    # Patch offsets around each particle's center pixel
+    half = patch // 2
+    dy, dx = jnp.meshgrid(
+        jnp.arange(patch, dtype=jnp.float32) - half,
+        jnp.arange(patch, dtype=jnp.float32) - half,
+        indexing="ij",
+    )
+    cx = jnp.floor(u)
+    cy = jnp.floor(v)
+    px = cx[:, None] + dx.ravel()[None, :]            # (N, P^2)
+    py = cy[:, None] + dy.ravel()[None, :]
+
+    # Sub-pixel offsets from the true center -> soft coverage + fake normal
+    ox = (px + 0.5 - u[:, None]) / pix_r[:, None]     # normalized sprite coords
+    oy = (py + 0.5 - v[:, None]) / pix_r[:, None]
+    r2 = ox * ox + oy * oy
+    coverage = jax.nn.sigmoid(sharpness * (1.0 - r2))  # soft disc
+
+    # Sphere-normal shading (ref: particle_fluid.frag:4-20). where-trick on
+    # the sqrt operand: sqrt'(0)=inf would leak NaN gradients at the disc edge.
+    inside_disc = (1.0 - r2) > 1e-6
+    oz = jnp.where(inside_disc, jnp.sqrt(jnp.where(inside_disc, 1.0 - r2, 1.0)), 0.0)
+    normal = jnp.stack([ox, -oy, oz], axis=-1)
+    norm_len = jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-6)
+    normal_col = normal / norm_len * 0.5 + 0.5        # (N, P^2, 3)
+    if colors is not None:
+        base_col = jnp.broadcast_to(colors[:, None, :], normal_col.shape)
+        # Lambert-ish modulation by the fake sphere normal's z
+        shade = 0.35 + 0.65 * oz[..., None]
+        col = base_col * shade
+    else:
+        col = normal_col
+
+    # Weighted-blended OIT: weight = coverage * exp(-k z)
+    zmin = jnp.min(jnp.where(in_front, depth, jnp.inf))
+    znorm = (depth - zmin)[:, None]
+    w = coverage * jnp.exp(-depth_falloff * znorm)
+    valid = (
+        in_front[:, None]
+        & (px >= 0) & (px < width) & (py >= 0) & (py < height)
+    )
+    w = jnp.where(valid, w, 0.0)
+    a_src = jnp.where(valid, coverage, 0.0)
+
+    ix = jnp.clip(px.astype(jnp.int32), 0, width - 1)
+    iy = jnp.clip(py.astype(jnp.int32), 0, height - 1)
+    flat = (iy * width + ix).ravel()
+
+    num = jnp.zeros((height * width, 3), jnp.float32)
+    den = jnp.zeros((height * width,), jnp.float32)
+    acc_a = jnp.zeros((height * width,), jnp.float32)
+    acc_z = jnp.zeros((height * width,), jnp.float32)
+
+    wf = w.ravel()
+    num = num.at[flat].add(col.reshape(-1, 3) * wf[:, None])
+    den = den.at[flat].add(wf)
+    acc_a = acc_a.at[flat].add(a_src.ravel())
+    acc_z = acc_z.at[flat].add(wf * jnp.broadcast_to(depth[:, None], w.shape).ravel())
+
+    den_safe = jnp.maximum(den, 1e-8)
+    mean_col = num / den_safe[:, None]
+    alpha = 1.0 - jnp.exp(-acc_a)                     # saturating coverage
+    bg = jnp.asarray(background, jnp.float32)
+    color = mean_col * alpha[:, None] + bg * (1.0 - alpha[:, None])
+    mean_z = acc_z / den_safe
+    return SplatImage(
+        color=color.reshape(height, width, 3),
+        alpha=alpha.reshape(height, width),
+        depth=mean_z.reshape(height, width),
+    )

@@ -1,0 +1,178 @@
+"""Render stack tests: camera, PBR, spectrum, lights, splat renderer + FD oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dieselfluid_tpu.render import pbr, spectrum as SP
+from dieselfluid_tpu.render.camera import Camera
+from dieselfluid_tpu.render.light import Attenuated, Directional, RectLight, Source
+from dieselfluid_tpu.render.splat import splat_particles
+
+
+class TestCamera:
+    def test_view_inverts_transform(self):
+        cam = Camera.at([1.0, 2.0, 3.0])
+        m = np.asarray(cam.transform @ cam.view_matrix())
+        np.testing.assert_allclose(m, np.eye(4), atol=1e-5)
+
+    def test_rays_through_center(self):
+        cam = Camera.at([0.0, 0.0, -5.0], front=[0.0, 0.0, 1.0], aspect=1.0)
+        o, d = cam.pixel_rays(64, 64)
+        # Center ray points along +z (the front axis)
+        center = np.asarray(d[32, 32])
+        assert center[2] > 0.99
+        np.testing.assert_allclose(np.asarray(o[0, 0]), [0, 0, -5], atol=1e-6)
+
+    def test_fps_rotation_keeps_orthonormal(self):
+        cam = Camera.at([0.0, 0.0, 0.0]).rotate_fps(30.0, 10.0)
+        r = np.asarray(cam.transform[:3, :3])
+        np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-5)
+
+    def test_camera_is_pytree(self):
+        cam = Camera.at([0.0, 0.0, -3.0])
+        leaves = jax.tree.leaves(cam)
+        assert len(leaves) == 1 and leaves[0].shape == (4, 4)
+
+
+class TestPBR:
+    def test_fresnel_limits(self):
+        assert float(pbr.fresnel_schlick(0.04, 1.0)) == pytest.approx(0.04, abs=1e-6)
+        assert float(pbr.fresnel_schlick(0.04, 0.0)) == pytest.approx(1.0, abs=1e-6)
+
+    def test_ggx_peaks_at_normal_incidence(self):
+        r = 0.3
+        assert float(pbr.d_ggx(r, 1.0)) > float(pbr.d_ggx(r, 0.7))
+
+    def test_shade_facing_light_brighter(self):
+        mat = pbr.PBRMaterial.make(base_color=(0.5, 0.5, 0.5), roughness=0.4)
+        n = jnp.asarray([[0.0, 0.0, 1.0]])
+        v = jnp.asarray([[0.0, 0.0, 1.0]])
+        l_facing = jnp.asarray([[0.0, 0.0, 1.0]])
+        l_grazing = jnp.asarray([[1.0, 0.0, 0.01]])
+        c1 = pbr.shade(n, v, l_facing, mat)
+        c2 = pbr.shade(n, v, l_grazing / jnp.linalg.norm(l_grazing), mat)
+        assert float(c1.sum()) > float(c2.sum())
+
+    def test_shade_differentiable_wrt_material(self):
+        n = jnp.asarray([[0.0, 0.0, 1.0]])
+        v = jnp.asarray([[0.0, 0.0, 1.0]])
+        l = jnp.asarray([[0.6, 0.0, 0.8]])
+
+        def loss(rough):
+            mat = pbr.PBRMaterial.make(roughness=rough)
+            return jnp.sum(pbr.shade(n, v, l, mat))
+
+        g = jax.grad(loss)(0.4)
+        assert np.isfinite(float(g)) and float(g) != 0.0
+
+    def test_reflect(self):
+        r = pbr.reflect(jnp.asarray([1.0, -1.0, 0.0]), jnp.asarray([0.0, 1.0, 0.0]))
+        np.testing.assert_allclose(np.asarray(r), [1, 1, 0], atol=1e-6)
+
+
+class TestSpectrum:
+    def test_cie_y_peak_near_555(self):
+        lam = jnp.linspace(400.0, 700.0, 301)
+        y = SP.cie_y(lam)
+        assert abs(float(lam[jnp.argmax(y)]) - 555.0) < 15.0
+
+    def test_flat_spectrum_is_whitish(self):
+        s = SP.SampledSpectrum.constant(40, total_power=40.0)
+        rgb = np.asarray(s.to_rgb())
+        assert rgb.min() > 0  # all channels positive
+        assert rgb.max() / rgb.min() < 3.0
+
+    def test_sunlight_spd_positive_and_peaked(self):
+        s = SP.init_sunlight(20)
+        v = np.asarray(s.values)
+        assert (v > 0).all()
+        # Burr distribution peaks inside the band, not at the edges
+        assert v.argmax() not in (0, len(v) - 1)
+
+    def test_xyz_rgb_roundtrip(self):
+        rgb = jnp.asarray([0.3, 0.6, 0.2])
+        back = SP.xyz_to_rgb(SP.rgb_to_xyz(rgb))
+        np.testing.assert_allclose(np.asarray(back), np.asarray(rgb), atol=1e-3)
+
+    def test_spectrum_arithmetic(self):
+        a = SP.SampledSpectrum.constant(10, 10.0)
+        b = SP.SampledSpectrum.constant(10, 20.0)
+        np.testing.assert_allclose(np.asarray(a.add(b).values), 3.0)
+        np.testing.assert_allclose(np.asarray(b.sub(a).values), 1.0)
+        np.testing.assert_allclose(np.asarray(a.mul(b).values), 2.0)
+
+
+class TestLights:
+    def test_attenuated_inverse_square(self):
+        lt = Attenuated(jnp.asarray([0.0, 0.0, 0.0]), Source.make(flux=100.0))
+        pts = jnp.asarray([[1.0, 0.0, 0.0], [2.0, 0.0, 0.0]])
+        e, d = lt.irradiance(pts)
+        assert float(e[0] / e[1]) == pytest.approx(4.0, rel=1e-5)
+        np.testing.assert_allclose(np.asarray(d[0]), [-1, 0, 0], atol=1e-6)
+
+    def test_directional_constant(self):
+        lt = Directional(jnp.zeros(3), jnp.asarray([0.0, -1.0, 0.0]), Source.make(flux=5.0))
+        e, d = lt.irradiance(jnp.zeros((4, 3)))
+        np.testing.assert_allclose(np.asarray(e), 5.0)
+        np.testing.assert_allclose(np.asarray(d), np.tile([0, 1, 0], (4, 1)), atol=1e-6)
+
+    def test_rect_light_grid(self):
+        rl = RectLight(
+            pos=jnp.zeros(3), normal=jnp.asarray([0.0, -1.0, 0.0]),
+            width=2.0, height=2.0, num_w=4, num_h=4, lum=Source.make(flux=16.0),
+        )
+        lights = rl.lights()
+        assert lights.pos.shape == (16, 3)
+        np.testing.assert_allclose(float(lights.lum.flux.sum()), 16.0, rtol=1e-5)
+
+
+class TestSplat:
+    CAM = Camera.at([0.0, 0.0, -3.0], front=[0.0, 0.0, 1.0], fov_deg=50.0, aspect=1.0)
+
+    def test_renders_centered_particle(self):
+        img = splat_particles(jnp.zeros((1, 3)), 0.1, self.CAM, 64, 64)
+        assert img.color.shape == (64, 64, 3)
+        a = np.asarray(img.alpha)
+        cy, cx = np.unravel_index(a.argmax(), a.shape)
+        assert abs(cy - 32) <= 2 and abs(cx - 32) <= 2
+        assert a.max() > 0.5 and a[0, 0] == 0.0
+
+    def test_background_outside_sprites(self):
+        img = splat_particles(jnp.zeros((1, 3)), 0.05, self.CAM, 64, 64,
+                              background=(0.1, 0.1, 0.1))
+        np.testing.assert_allclose(np.asarray(img.color[0, 0]), [0.1, 0.1, 0.1], atol=1e-5)
+
+    def test_depth_ordering_front_wins(self):
+        # Two overlapping particles; the closer one dominates the blend.
+        pos = jnp.asarray([[0.0, 0.0, -0.5], [0.0, 0.0, 0.5]])
+        cols = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+        img = splat_particles(pos, 0.15, self.CAM, 64, 64, colors=cols,
+                              depth_falloff=4.0)
+        center = np.asarray(img.color[32, 32])
+        assert center[0] > center[2]  # red (closer, z=-0.5 with cam at -3) wins
+
+    def test_gradient_matches_finite_difference(self):
+        pos = jnp.asarray([[0.03, -0.02, 0.0]])
+
+        def loss(p):
+            im = splat_particles(p, 0.05, self.CAM, 64, 64)
+            return jnp.sum((im.color - 0.5) ** 2)
+
+        g = np.asarray(jax.grad(loss)(pos))
+        p0 = np.asarray(pos)
+        eps = 5e-4
+        for d in range(3):
+            pp = p0.copy(); pp[0, d] += eps
+            pm = p0.copy(); pm[0, d] -= eps
+            fd = (float(loss(jnp.asarray(pp))) - float(loss(jnp.asarray(pm)))) / (2 * eps)
+            assert g[0, d] == pytest.approx(fd, rel=0.15), f"dim {d}"
+
+    def test_gradient_to_radius(self):
+        def loss(r):
+            im = splat_particles(jnp.zeros((1, 3)), r, self.CAM, 64, 64)
+            return jnp.sum(im.alpha)
+
+        g = float(jax.grad(loss)(0.05))
+        assert np.isfinite(g) and g > 0  # bigger particle -> more coverage

@@ -1,0 +1,107 @@
+"""dieselfluid_tpu CLI — run simulations, render frames, export animations.
+
+Usage:
+  python -m dieselfluid_tpu.app.cli --n3 12 --solver pcisph --steps 400 \
+      --render --out /tmp/fluid_run --video
+
+The reference's end-to-end path is an interactive GL window driven by a test
+(ref: dslapp/fluidapp/integration_test.go:20-54); this is the equivalent
+wiring as a reproducible batch program: sim loop + splat renderer + animation
+export + rolling checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dieselfluid", description=__doc__)
+    p.add_argument("--n3", type=int, default=12,
+                   help="cubic root of particle count (ref default 16 -> 4096)")
+    p.add_argument("--solver", choices=["wcsph", "pcisph"], default="wcsph")
+    p.add_argument("--neighbors", choices=["cellgrid", "bruteforce"], default="cellgrid")
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--extent", type=float, default=0.5, help="dam-break column extent")
+    p.add_argument("--scene", choices=["dam_break", "lattice"], default="dam_break")
+    p.add_argument("--out", type=str, default="out")
+    p.add_argument("--render", action="store_true", help="render frames while stepping")
+    p.add_argument("--render-every", type=int, default=5)
+    p.add_argument("--size", type=int, default=384, help="render resolution")
+    p.add_argument("--video", action="store_true", help="write mp4 from rendered frames")
+    p.add_argument("--ply", action="store_true", help="write per-frame PLY point clouds")
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--resume", type=str, default=None, help="checkpoint dir to resume")
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from dieselfluid_tpu.config import SimConfig
+    from dieselfluid_tpu.io.animation import AnimationWriter
+    from dieselfluid_tpu.io.checkpoint import Checkpointer, load_checkpoint
+    from dieselfluid_tpu.models.sph import Simulation
+    from dieselfluid_tpu.render.camera import Camera
+    from dieselfluid_tpu.render.splat import splat_particles
+
+    config = SimConfig(n3=args.n3, solver=args.solver, neighbors=args.neighbors)
+    sim = Simulation.create(config, extent=args.extent, scene=args.scene)
+    if args.resume:
+        state, step, params, cfg = load_checkpoint(args.resume)
+        sim.state = state
+        sim.step_count = step
+        print(f"resumed from {args.resume} at step {step}")
+
+    print(f"dieselfluid_tpu: {sim.n()} particles, {args.solver}/{args.neighbors}, "
+          f"h={sim.params.h:.4f} dt={sim.params.dt:.5f} d0={sim.params.d0:.1f}"
+          + (f" delta={sim.delta:.1f}" if args.solver == "pcisph" else ""))
+
+    cam = Camera.at([0.0, 0.6, -2.8], front=[0.0, -0.35, 1.0],
+                    fov_deg=55.0, aspect=1.0)
+    writer = AnimationWriter(args.out, name=f"{args.solver}_{args.n3}")
+    ckptr = (Checkpointer(args.out + "/ckpt", interval=args.checkpoint_every)
+             if args.checkpoint_every else None)
+
+    t0 = time.perf_counter()
+    for frame in range(args.steps):
+        diag = sim.step()
+        if args.render and frame % args.render_every == 0:
+            img = splat_particles(sim.state.pos, sim.dx * 0.7, cam,
+                                  args.size, args.size)
+            writer.add_frame(sim.state.pos, image=img.color)
+        elif args.ply or frame % args.render_every == 0:
+            writer.add_frame(sim.state.pos)
+        if ckptr:
+            ckptr.maybe_save(sim.state, sim.step_count, sim.params, config)
+    dt = time.perf_counter() - t0
+
+    outputs = {"npz": writer.write_npz({"config": config.to_json()})}
+    if args.ply:
+        outputs["ply"] = f"{len(writer.write_ply_sequence())} files"
+    if args.video and writer.images:
+        outputs["video"] = writer.write_video()
+
+    print(json.dumps({
+        "steps": args.steps,
+        "particles": sim.n(),
+        "wall_s": round(dt, 2),
+        "particle_steps_per_s": round(sim.n() * args.steps / dt, 1),
+        "max_vel": float(diag.max_vel) if diag else None,
+        "outputs": outputs,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,138 @@
+"""The SPH system facade: configuration -> ready-to-run simulation.
+
+ref: model/sph/fluid.go SPH struct + Init():23-88 — owns the field, particle
+state, solver policy, NN-cache schedule, viscosity and the PCISPH delta. Here
+it binds a SimConfig to params, initial state, a neighbor provider and a
+jitted step function; everything stateful is explicit and functional
+underneath (the facade only holds the current FluidState + step counter).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dieselfluid_tpu.config import CACHE_L, FluidParams, SimConfig
+from dieselfluid_tpu.models.particles import FluidState, dam_break_state, init_lattice_state
+from dieselfluid_tpu.neighbors.bruteforce import brute_force_neighborhood
+from dieselfluid_tpu.neighbors.calibrate import calibrate_rest_density
+from dieselfluid_tpu.neighbors.cellgrid import CellGridSpec, cell_grid_neighborhood
+from dieselfluid_tpu.solvers.integrate import StepDiagnostics
+from dieselfluid_tpu.solvers.pcisph import compute_pci_delta, pcisph_step
+from dieselfluid_tpu.solvers.wcsph import wcsph_step
+
+
+@dataclasses.dataclass
+class Simulation:
+    """A configured simulation: state + jitted step + bookkeeping."""
+
+    config: SimConfig
+    params: FluidParams
+    state: FluidState
+    step_fn: Callable[[FluidState], Tuple[FluidState, StepDiagnostics]]
+    delta: float = 0.0
+    step_count: int = 0
+    cache_life: float = CACHE_L
+    dx: float = 0.0
+
+    @staticmethod
+    def create(config: SimConfig, extent: float = 0.5,
+               scene: str = "dam_break") -> "Simulation":
+        """Build params/state/step from config (ref: sph.Init analog)."""
+        n3 = config.n3
+        dx = (2.0 / n3) * extent
+        params = FluidParams.for_spacing(dx)
+        if scene == "dam_break":
+            state = dam_break_state(n3, params, extent=extent)
+        else:
+            state = init_lattice_state(n3, params)
+        params = calibrate_rest_density(state.pos, params)
+
+        if config.neighbors == "cellgrid":
+            spec = CellGridSpec.for_domain((-1, -1, -1), (1, 1, 1), params.h,
+                                           capacity=config.cell_capacity)
+            nfn = lambda pos: cell_grid_neighborhood(
+                pos, pos, params.h, config.max_neighbors, spec)
+        else:
+            nfn = lambda pos: brute_force_neighborhood(
+                pos, pos, params.h, config.max_neighbors)
+
+        delta = 0.0
+        if config.solver == "pcisph":
+            delta = compute_pci_delta(params, dx)
+            step_fn = lambda s: pcisph_step(s, params, delta, neighbor_fn=nfn)
+        else:
+            step_fn = lambda s: wcsph_step(s, params, neighbor_fn=nfn)
+
+        return Simulation(config=config, params=params, state=state,
+                          step_fn=step_fn, delta=delta, dx=dx)
+
+    # ------------------------------------------------------------- stepping
+    def step(self, n: int = 1) -> StepDiagnostics:
+        """Advance n frames (ref: the solver Run loop body)."""
+        diag = None
+        for _ in range(n):
+            self.state, diag = self.step_fn(self.state)
+            self.step_count += 1
+        return diag
+
+    def rollout(self, n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """scan-compiled n-frame rollout; returns (positions (n,N,3), max_vels)."""
+        def body(s, _):
+            s, d = self.step_fn(s)
+            return s, (s.pos, d.max_vel)
+
+        final, (traj, vmax) = jax.lax.scan(body, self.state, None, length=n)
+        self.state = final
+        self.step_count += n
+        return traj, vmax
+
+    # ---------------------------------------------------------- ref surface
+    def n(self) -> int:
+        """Live particle count. ref: fluid.go N()."""
+        return self.state.n
+
+    def cfl(self) -> float:
+        """Fixed timestep policy. ref: fluid.go CFL():111-114."""
+        return self.params.dt
+
+    def max_v(self) -> float:
+        return float(jnp.max(jnp.linalg.norm(self.state.vel, axis=-1)))
+
+    def viscosity(self) -> float:
+        return self.params.mu
+
+    def set_viscosity(self, mu: float):
+        """ref: fluid.go SetViscosity — rebind the step to updated params."""
+        from dieselfluid_tpu.neighbors.cellgrid import CellGridSpec, cell_grid_neighborhood
+        from dieselfluid_tpu.neighbors.bruteforce import brute_force_neighborhood
+
+        self.params = self.params.replace(mu=mu)
+        params, cfg = self.params, self.config
+        if cfg.neighbors == "cellgrid":
+            spec = CellGridSpec.for_domain((-1, -1, -1), (1, 1, 1), params.h,
+                                           capacity=cfg.cell_capacity)
+            nfn = lambda pos: cell_grid_neighborhood(pos, pos, params.h,
+                                                     cfg.max_neighbors, spec)
+        else:
+            nfn = lambda pos: brute_force_neighborhood(pos, pos, params.h,
+                                                       cfg.max_neighbors)
+        if cfg.solver == "pcisph":
+            self.step_fn = lambda s: pcisph_step(s, params, self.delta, neighbor_fn=nfn)
+        else:
+            self.step_fn = lambda s: wcsph_step(s, params, neighbor_fn=nfn)
+
+    def cache_incr(self) -> float:
+        """NN cache-extinction schedule (ref: fluid.go CacheIncr:208-215).
+
+        Parity API: our neighbor structures are rebuilt inside every jitted
+        step (cheap sorted cell grid), so this only reproduces the decay
+        bookkeeping the reference exposes.
+        """
+        self.cache_life *= self.cache_life
+        if self.cache_life < 0.1:
+            self.cache_life = CACHE_L
+        return self.cache_life

@@ -1,0 +1,183 @@
+"""IO (checkpoint/animation/sampler JSON), LSH sampler, Simulation facade, CLI."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import jax
+
+from dieselfluid_tpu.config import FluidParams, SimConfig
+from dieselfluid_tpu.io.animation import AnimationWriter, read_ply, write_ply
+from dieselfluid_tpu.io.checkpoint import Checkpointer, load_checkpoint, save_checkpoint
+from dieselfluid_tpu.io.sampler_json import SamplerJSON
+from dieselfluid_tpu.models.particles import dam_break_state
+from dieselfluid_tpu.models.sph import Simulation
+from dieselfluid_tpu.neighbors import lsh
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        params = FluidParams.for_spacing(0.1)
+        s = dam_break_state(6, params)
+        cfg = SimConfig(n3=6)
+        p = str(tmp_path / "ckpt")
+        save_checkpoint(p, s, step=42, params=params, config=cfg)
+        s2, step, p2, c2 = load_checkpoint(p)
+        assert step == 42
+        np.testing.assert_allclose(np.asarray(s2.pos), np.asarray(s.pos))
+        np.testing.assert_allclose(np.asarray(s2.vel), np.asarray(s.vel))
+        assert p2.h == params.h and p2.d0 == params.d0
+        assert c2.n3 == 6
+
+    def test_overwrite(self, tmp_path):
+        params = FluidParams.for_spacing(0.1)
+        s = dam_break_state(4, params)
+        p = str(tmp_path / "ckpt")
+        save_checkpoint(p, s, step=1)
+        save_checkpoint(p, s._replace(pos=s.pos + 1.0), step=2)
+        s2, step, *_ = load_checkpoint(p)
+        assert step == 2
+        np.testing.assert_allclose(np.asarray(s2.pos), np.asarray(s.pos) + 1.0)
+
+    def test_rolling_manager(self, tmp_path):
+        params = FluidParams.for_spacing(0.1)
+        s = dam_break_state(4, params)
+        ck = Checkpointer(str(tmp_path / "r"), keep=2, interval=10)
+        for step in [10, 20, 30, 40]:
+            assert ck.maybe_save(s, step)
+        assert not ck.maybe_save(s, 41)
+        assert ck._steps() == [30, 40]
+        latest = ck.latest()
+        assert latest[1] == 40
+
+
+class TestAnimation:
+    def test_ply_roundtrip(self, tmp_path):
+        pts = np.random.default_rng(0).normal(size=(50, 3)).astype(np.float32)
+        p = str(tmp_path / "f.ply")
+        write_ply(p, pts)
+        back = read_ply(p)
+        np.testing.assert_allclose(back, pts)
+
+    def test_npz_and_gif(self, tmp_path):
+        w = AnimationWriter(str(tmp_path), "anim")
+        for i in range(3):
+            img = np.full((8, 8, 3), i / 3.0, np.float32)
+            w.add_frame(np.zeros((10, 3)) + i, image=img)
+        npz = w.write_npz({"note": "test"})
+        data = np.load(npz)
+        assert data["positions"].shape == (3, 10, 3)
+        assert json.loads(str(data["metadata"]))["note"] == "test"
+        vid = w.write_video(fmt="gif")
+        assert vid.endswith(".gif") and os.path.exists(vid)
+
+
+class TestSamplerJSON:
+    def test_roundtrip(self, tmp_path):
+        sj = SamplerJSON(name="curve", sampler_id=5,
+                         domain=[380.0, 390.0], values=[0.1, 0.2])
+        p = str(tmp_path / "s.json")
+        sj.export_json(p)
+        back = SamplerJSON.import_json(p)
+        assert back.name == "curve" and back.sampler_id == 5
+        assert back.values == [0.1, 0.2]
+
+    def test_reads_reference_malformed_dialect(self, tmp_path):
+        # The reference's data files omit the colon and brace-wrap arrays
+        # (ref: data/CIEX.json) — the lenient reader must cope.
+        p = str(tmp_path / "ref.json")
+        with open(p, "w") as f:
+            f.write('{\n "samplerMeta"{\n  "name":"CIE X",\n  "samplerID": 5\n },\n'
+                    ' "samples_1D":{\n  "domain":{\n   360, 361, 362\n  },\n'
+                    '  "values":{\n   0.1, 0.2, 0.3\n  }\n }\n}\n')
+        back = SamplerJSON.import_json(p)
+        assert back.name == "CIE X"
+        assert back.domain == [360, 361, 362]
+        assert back.values == [0.1, 0.2, 0.3]
+
+    def test_reads_actual_reference_cie_file(self):
+        ref = "/root/reference/data/CIEX.json"
+        if not os.path.exists(ref):
+            pytest.skip("reference data not mounted")
+        back = SamplerJSON.import_json(ref)
+        assert len(back.domain) == len(back.values) > 100
+        assert back.sampler_id == 5
+
+
+class TestLSH:
+    def test_hash_range_and_determinism(self):
+        spec = lsh.LSHSpec()
+        key = jax.random.PRNGKey(0)
+        vecs = lsh.hash_vectors(key, spec)
+        pos = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (200, 3)), jnp.float32)
+        h = lsh.lsh_hash(pos, vecs, spec.buckets)
+        assert int(h.min()) >= 0 and int(h.max()) < spec.buckets
+        h2 = lsh.lsh_hash(pos, vecs, spec.buckets)
+        np.testing.assert_array_equal(np.asarray(h), np.asarray(h2))
+
+    def test_samples_start_with_own_bucket(self):
+        spec = lsh.LSHSpec(samples=50)
+        key = jax.random.PRNGKey(1)
+        vecs = lsh.hash_vectors(key, spec)
+        pos = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, (300, 3)), jnp.float32)
+        nb = lsh.get_samples(pos, vecs, spec)
+        h = np.asarray(lsh.lsh_hash(pos, vecs, spec.buckets))
+        idx = np.asarray(nb.idx)
+        # Each particle's first samples must come from buckets >= its own
+        # (cyclic forward scan, ref: lsh.go GetSamples)
+        first = h[idx[:, 0]]
+        ok = (first >= h) | (first < h)  # trivially true; check membership:
+        # own bucket-mates (if any) appear in the sample window
+        for i in range(0, 300, 50):
+            mates = np.where(h == h[i])[0]
+            assert any(m in idx[i] for m in mates)
+
+    def test_gpu_export_shapes(self):
+        spec = lsh.LSHSpec()
+        key = jax.random.PRNGKey(2)
+        vecs = lsh.hash_vectors(key, spec)
+        pos = jnp.asarray(np.random.default_rng(2).uniform(-1, 1, (510, 3)), jnp.float32)
+        table = lsh.get_data_1d(pos, vecs, spec)
+        assert table.shape == (spec.buckets * spec.bucket_size(510),)
+        flat = lsh.get_vectors(vecs)
+        assert flat.shape == (spec.hash_bits * 3,)
+
+
+class TestSimulationFacade:
+    def test_create_and_step(self):
+        sim = Simulation.create(SimConfig(n3=6, solver="wcsph", neighbors="cellgrid"))
+        assert sim.n() == 216
+        d = sim.step(3)
+        assert sim.step_count == 3
+        assert np.isfinite(float(d.max_vel))
+
+    def test_rollout(self):
+        sim = Simulation.create(SimConfig(n3=6, solver="pcisph", neighbors="bruteforce"))
+        traj, vmax = sim.rollout(5)
+        assert traj.shape == (5, 216, 3)
+        assert sim.step_count == 5
+
+    def test_cache_incr_schedule(self):
+        sim = Simulation.create(SimConfig(n3=4))
+        lives = [sim.cache_incr() for _ in range(4)]
+        assert lives[0] == pytest.approx(0.8 ** 2)
+        assert lives[-1] == pytest.approx(0.8)  # reset after decay below 0.1
+
+    def test_set_viscosity_rebinds(self):
+        sim = Simulation.create(SimConfig(n3=4))
+        sim.set_viscosity(0.2)
+        assert sim.viscosity() == 0.2
+        sim.step()
+
+
+class TestCLI:
+    def test_cli_runs(self, tmp_path):
+        from dieselfluid_tpu.app.cli import main
+
+        rc = main(["--n3", "5", "--steps", "5", "--out", str(tmp_path),
+                   "--solver", "wcsph"])
+        assert rc == 0
+        assert os.path.exists(tmp_path / "wcsph_5.npz")

@@ -28,8 +28,11 @@ def pairwise_distances(query: jnp.ndarray, source: jnp.ndarray) -> jnp.ndarray:
     exact f32 on the VPU; this provider is for modest N anyway (the cell grid
     covers large N).
     """
-    diff = query[:, None, :] - source[None, :, :]
-    return jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    d2 = jnp.zeros((query.shape[0], source.shape[0]), jnp.float32)
+    for c in range(3):
+        diff = query[:, c][:, None] - source[:, c][None, :]
+        d2 = d2 + diff * diff
+    return jnp.sqrt(d2)
 
 
 def brute_force_neighborhood(

@@ -1,0 +1,116 @@
+"""Slab decomposition + halo exchange on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dieselfluid_tpu.config import FluidParams
+from dieselfluid_tpu.models.particles import dam_break_state
+from dieselfluid_tpu.neighbors.bruteforce import brute_force_neighborhood
+from dieselfluid_tpu.neighbors.calibrate import calibrate_rest_density
+from dieselfluid_tpu.parallel.halo import (
+    SlabSpec,
+    collect,
+    distribute,
+    make_halo_step,
+)
+from dieselfluid_tpu.parallel.sharding import particle_mesh
+from dieselfluid_tpu.solvers.wcsph import rollout, wcsph_step
+
+N_DEV = 8
+
+
+@pytest.fixture(scope="module")
+def setup():
+    n3, extent = 10, 0.5
+    dx = (2.0 / n3) * extent
+    params = FluidParams.for_spacing(dx)
+    s0 = dam_break_state(n3, params, extent=extent)
+    params = calibrate_rest_density(s0.pos, params)
+    spec = SlabSpec(n_dev=N_DEV, capacity=512, halo_capacity=256,
+                    migrate_capacity=128, h=params.h)
+    mesh = particle_mesh(N_DEV)
+    return params, s0, spec, mesh
+
+
+def test_distribute_collect_roundtrip(setup):
+    params, s0, spec, _ = setup
+    slabs = distribute(s0, spec)
+    assert float(slabs.dropped) == 0.0
+    pos, vel = collect(slabs)
+    assert pos.shape == (s0.n, 3)
+    # Same multiset of positions (order differs)
+    a = np.sort(np.asarray(s0.pos), axis=0)
+    b = np.sort(pos, axis=0)
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_slab_assignment(setup):
+    params, s0, spec, _ = setup
+    slabs = distribute(s0, spec)
+    pos = np.asarray(slabs.pos)
+    alive = np.asarray(slabs.alive) > 0
+    c = spec.capacity
+    for d in range(N_DEV):
+        lo = spec.lo + spec.slab_width * d
+        block = slice(d * c, (d + 1) * c)
+        live_x = pos[block][alive[block]][:, 0]
+        if len(live_x):
+            assert live_x.min() >= lo - 1e-6
+            assert live_x.max() < lo + spec.slab_width + 1e-6
+
+
+def test_halo_step_conserves_particles(setup):
+    params, s0, spec, mesh = setup
+    slabs = distribute(s0, spec)
+    step = make_halo_step(mesh, spec, params, k=64)
+    n0 = float(jnp.sum(slabs.alive))
+    for _ in range(20):
+        slabs, max_vel, n_live = step(slabs)
+    assert float(n_live) == n0
+    assert float(slabs.dropped) == 0.0
+    assert np.isfinite(float(max_vel))
+
+
+def test_halo_matches_single_device_physics(setup):
+    """Slab-decomposed run tracks the single-device solver's bulk behavior."""
+    params, s0, spec, mesh = setup
+    # Single device oracle
+    nfn = lambda p: brute_force_neighborhood(p, p, params.h, 64)
+    single, _, _ = rollout(lambda st: wcsph_step(st, params, neighbor_fn=nfn), s0, 60)
+
+    slabs = distribute(s0, spec)
+    step = make_halo_step(mesh, spec, params, k=64)
+    for _ in range(60):
+        slabs, max_vel, _ = step(slabs)
+    pos, _ = collect(slabs)
+
+    mean_y_single = float(jnp.mean(single.pos[:, 1]))
+    mean_y_halo = float(pos[:, 1].mean())
+    # Both collapse similarly (ghost-pressure approximation allows small drift)
+    assert mean_y_halo == pytest.approx(mean_y_single, abs=0.08)
+    assert pos[:, 1].min() >= -1.0 - 1e-5
+    assert float(max_vel) < 25.0
+
+
+def test_migration_moves_particles_between_slabs(setup):
+    params, s0, spec, mesh = setup
+    # Give everything a strong +x velocity: particles must flow right.
+    s_push = s0._replace(vel=jnp.ones_like(s0.vel) * jnp.asarray([3.0, 0.0, 0.0]))
+    slabs = distribute(s_push, spec)
+    c = spec.capacity
+
+    def occupancy(sl):
+        alive = np.asarray(sl.alive)
+        return [float(alive[d * c:(d + 1) * c].sum()) for d in range(N_DEV)]
+
+    occ0 = occupancy(slabs)
+    step = make_halo_step(mesh, spec, params, k=32)
+    for _ in range(40):
+        slabs, _, n_live = step(slabs)
+    occ1 = occupancy(slabs)
+    assert occ1 != occ0, "no migration happened"
+    assert float(n_live) == sum(occ0), "particles lost during migration"
+    # Mass moved rightward
+    assert sum(i * o for i, o in enumerate(occ1)) > sum(i * o for i, o in enumerate(occ0))

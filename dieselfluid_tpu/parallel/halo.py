@@ -17,7 +17,14 @@ mask — XLA needs static shapes), and per step:
 Communication is O(surface) per step instead of the all-gather's O(N) — the
 difference between DP-over-particles (parallel/spmd.py) and true spatial
 parallelism. Fixed capacities make overflow measurable, not silent:
-`HaloState.dropped` counts particles that didn't fit (psum'd).
+`SlabState.dropped` counts particles that didn't fit (psum'd).
+
+CPU-EMULATION CAVEAT: on the virtual multi-device CPU backend
+(xla_force_host_platform_device_count), dispatching many steps without
+blocking can deadlock XLA's in-process collective rendezvous (worker threads
+oversubscribed across enqueued programs; observed at ~150 queued steps).
+Call jax.block_until_ready periodically when driving loops on CPU; real TPU
+meshes use hardware collectives and do not need this.
 """
 
 from __future__ import annotations

@@ -1,0 +1,132 @@
+"""Dense cell-grid layout for the Pallas SPH kernels.
+
+Particles are binned into a dense (padded) cell lattice stored as 3D f32
+planes of shape (rows, sub, 128):
+
+  * rows = (x, y) cell columns incl. one ghost ring: row = (i+1)*py + (j+1);
+  * the z axis (cells * capacity slots) lives in the flattened trailing
+    (sub, 128) dims, padded so capacity * z_block == 128 flat slots per
+    sublane-row and ghosted by one z_block on each side.
+
+Why this shape: Mosaic DMA slices on the *leading* dim of a >2D array are
+unconstrained, so a kernel program can stream its 3x3 row stencil with three
+(3, sub, 128) copies per plane; the z sweep then reads dynamic sublane rows
+(probe-verified legal) — no sorts, no global gathers on the hot path. This is
+the TPU-native replacement for the reference's LSH table upload
+(ref: sampler/lsh/lsh.go GetData1D + pcisph.h get_sample's fixed fetch loop).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseCellSpec:
+    """Static dense-layout config. Cell edge must be >= the kernel radius."""
+
+    nx: int
+    ny: int
+    nz: int
+    capacity: int
+    cell: float
+    lo: Tuple[float, float, float] = (-1.0, -1.0, -1.0)
+
+    def __post_init__(self):
+        assert 128 % self.capacity == 0, "capacity must divide 128"
+
+    @staticmethod
+    def for_domain(lo, hi, h: float, capacity: int = 16) -> "DenseCellSpec":
+        lo_a = np.asarray(lo, np.float64)
+        hi_a = np.asarray(hi, np.float64)
+        dims = np.maximum(np.ceil((hi_a - lo_a) / h), 1).astype(int)
+        return DenseCellSpec(nx=int(dims[0]), ny=int(dims[1]), nz=int(dims[2]),
+                             capacity=capacity, cell=float(h), lo=tuple(lo))
+
+    @property
+    def z_block(self) -> int:
+        """z cells per 128-lane sublane-row (capacity * z_block == 128)."""
+        return 128 // self.capacity
+
+    @property
+    def nz_padded(self) -> int:
+        zb = self.z_block
+        return ((self.nz + zb - 1) // zb) * zb
+
+    @property
+    def px(self) -> int:
+        return self.nx + 2
+
+    @property
+    def py(self) -> int:
+        return self.ny + 2
+
+    @property
+    def rows(self) -> int:
+        return self.px * self.py
+
+    @property
+    def sub(self) -> int:
+        """Sublane rows per (x,y) column: interior z blocks + one ghost each side."""
+        return self.nz_padded // self.z_block + 2
+
+    @property
+    def row_len(self) -> int:
+        return self.sub * 128
+
+    @property
+    def plane_shape(self) -> Tuple[int, int, int]:
+        return (self.rows, self.sub, 128)
+
+
+def dense_indices(pos: jnp.ndarray, spec: DenseCellSpec):
+    """Per-particle dense slot: (flat_index, valid_mask, overflow_count).
+
+    flat indexes the flattened (rows * sub * 128) plane. Slot ranks come from
+    one argsort over cell ids; particles beyond a cell's capacity are dropped
+    from the structure and counted.
+    """
+    c = spec.capacity
+    lo = jnp.asarray(spec.lo, jnp.float32)
+    ijk = jnp.floor((pos - lo) / spec.cell).astype(jnp.int32)
+    ijk = jnp.clip(ijk, 0, jnp.asarray([spec.nx - 1, spec.ny - 1, spec.nz - 1]))
+    cid = (ijk[:, 0] * spec.ny + ijk[:, 1]) * spec.nz + ijk[:, 2]
+
+    order = jnp.argsort(cid)
+    sorted_cid = cid[order]
+    ncells = spec.nx * spec.ny * spec.nz
+    starts = jnp.searchsorted(sorted_cid, jnp.arange(ncells + 1, dtype=sorted_cid.dtype))
+    rank_sorted = jnp.arange(pos.shape[0], dtype=jnp.int32) - starts[sorted_cid].astype(jnp.int32)
+    rank = jnp.zeros_like(rank_sorted).at[order].set(rank_sorted)
+
+    valid = rank < c
+    overflow = jnp.sum(~valid)
+
+    row = (ijk[:, 0] + 1) * spec.py + (ijk[:, 1] + 1)
+    col = (ijk[:, 2] + spec.z_block) * c + jnp.minimum(rank, c - 1)
+    flat = row * spec.row_len + col
+    return flat, valid, overflow
+
+
+def build_planes(values: Dict[str, jnp.ndarray], flat, valid,
+                 spec: DenseCellSpec) -> Dict[str, jnp.ndarray]:
+    """Scatter per-particle channels into dense planes (+ a 'mask' plane)."""
+    size = spec.rows * spec.row_len
+    safe = jnp.where(valid, flat, 0)
+    out = {}
+    ones = jnp.where(valid, 1.0, 0.0)
+    mask = jnp.zeros((size,), jnp.float32).at[safe].max(ones)
+    out["mask"] = mask.reshape(spec.plane_shape)
+    for name, v in values.items():
+        plane = jnp.zeros((size,), jnp.float32).at[safe].add(jnp.where(valid, v, 0.0))
+        out[name] = plane.reshape(spec.plane_shape)
+    return out
+
+
+def gather_plane(plane: jnp.ndarray, flat: jnp.ndarray) -> jnp.ndarray:
+    """Read per-particle values back out of a dense plane."""
+    return plane.reshape(-1)[flat]

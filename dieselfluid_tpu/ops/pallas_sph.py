@@ -1,0 +1,215 @@
+"""Pallas TPU kernels for the SPH hot loops: density + forces over dense cells.
+
+TPU-native re-design of the reference's GPU kernels (ref: data/shaders/
+opencl/pcisph/pci_density.c, pci_predict.c, data/shaders/glsl/pcisph/
+pcisph_kern0/1.comp): instead of per-particle LSH table fetches (pcisph.h
+get_sample's fixed 150-iteration loop), each Pallas program owns one (x, y)
+cell COLUMN of the dense 3D layout (ops/cellops.py): it DMAs its 3x3 column
+stencil into VMEM (three leading-dim copies per plane) and sweeps the z axis
+one 128-slot sublane-row block at a time, computing (128, 128) pairwise tiles
+against the 27 candidate sublane-rows of the stencil — all in VMEM, no sorts,
+no global gathers, no top_k (the XLA gather/top_k path measured ~1.4 s/step
+at 32k particles; this replaces it).
+
+The z window covers whole sublane rows (kb-1, kb, kb+1) — a superset of the
++-1-cell stencil; with cell edge >= h the d2 < h^2 test excludes the extra
+cells, so correctness is automatic and only the candidate count grows.
+
+Self term: the (i,i) pair has r = 0 and contributes m*W0 to density —
+matching field.density_with_self — and exactly zero force (guarded rsqrt).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dieselfluid_tpu.ops.cellops import DenseCellSpec
+from dieselfluid_tpu.ops.smoothing import KernelCoeffs
+
+_EPS = 1e-12
+
+
+def _col(v):
+    """(1, 128) row -> (128, 1) column (Mosaic supports this transpose)."""
+    return jnp.transpose(v, (1, 0))
+
+
+def _start_stencil(cand_refs, scratches, sems, r, py):
+    dmas = []
+    for p, (ref, scr) in enumerate(zip(cand_refs, scratches)):
+        for g, dr in enumerate((-py, 0, py)):
+            d = pltpu.make_async_copy(
+                ref.at[pl.ds(r + dr - 1, 3), :, :],
+                scr.at[pl.ds(g * 3, 3), :, :],
+                sems.at[p, g],
+            )
+            d.start()
+            dmas.append(d)
+    return dmas
+
+
+def density_planes(planes: Dict[str, jnp.ndarray], spec: DenseCellSpec,
+                   k: KernelCoeffs, mass: float) -> jnp.ndarray:
+    """rho plane (rows, sub, 128) from x/y/z/mask planes."""
+    py = spec.py
+    sub = spec.sub
+    a_w, h2 = float(k.a), float(k.h * k.h)
+    nblk = sub - 2
+
+    names = ("x", "y", "z", "mask")
+    n_pl = len(names)
+
+    def kernel(x_ref, y_ref, z_ref, m_ref, out_ref,
+               sx, sy, sz, sm, acc, sems, out_sem):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        r = (i + 1) * py + (j + 1)
+        for d in _start_stencil((x_ref, y_ref, z_ref, m_ref),
+                                (sx, sy, sz, sm), sems, r, py):
+            d.wait()
+
+        def body(kb, _):
+            own_x = _col(sx[4, pl.ds(kb + 1, 1), :])      # (128, 1)
+            own_y = _col(sy[4, pl.ds(kb + 1, 1), :])
+            own_z = _col(sz[4, pl.ds(kb + 1, 1), :])
+            own_m = _col(sm[4, pl.ds(kb + 1, 1), :])
+            rho = jnp.zeros((128, 1), jnp.float32)
+            for g in range(9):
+                for t in range(3):
+                    cx = sx[g, pl.ds(kb + t, 1), :]       # (1, 128)
+                    cy = sy[g, pl.ds(kb + t, 1), :]
+                    cz = sz[g, pl.ds(kb + t, 1), :]
+                    cm = sm[g, pl.ds(kb + t, 1), :]
+                    dx = cx - own_x                        # (128, 128)
+                    dy = cy - own_y
+                    dz = cz - own_z
+                    d2 = dx * dx + dy * dy + dz * dz
+                    q = 1.0 - d2 / h2
+                    w = jnp.where(d2 < h2, a_w * q * q, 0.0) * cm
+                    rho = rho + jnp.sum(w, axis=1, keepdims=True)
+            acc[0, pl.ds(kb + 1, 1), :] = _col(mass * rho * own_m)
+            return 0
+
+        jax.lax.fori_loop(0, nblk, body, 0)
+        d = pltpu.make_async_copy(acc, out_ref.at[pl.ds(r, 1), :, :], out_sem)
+        d.start()
+        d.wait()
+
+    return pl.pallas_call(
+        kernel,
+        grid=(spec.nx, spec.ny),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_pl,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct(spec.plane_shape, jnp.float32),
+        scratch_shapes=(
+            [pltpu.VMEM((9, sub, 128), jnp.float32) for _ in range(n_pl)]
+            + [pltpu.VMEM((1, sub, 128), jnp.float32),
+               pltpu.SemaphoreType.DMA((n_pl, 3)),
+               pltpu.SemaphoreType.DMA(())]
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(planes["x"], planes["y"], planes["z"], planes["mask"])
+
+
+def force_planes(planes: Dict[str, jnp.ndarray], rho_plane, press_plane,
+                 spec: DenseCellSpec, k: KernelCoeffs, mass: float, mu: float):
+    """(fx, fy, fz) planes: symmetric pressure force + viscosity."""
+    py = spec.py
+    sub = spec.sub
+    h = float(k.h)
+    b_w = float(k.b)
+    c_w = float(k.c)
+    h2 = h * h
+    nblk = sub - 2
+
+    all_in = [planes[n] for n in ("x", "y", "z", "vx", "vy", "vz", "mask")] \
+        + [rho_plane, press_plane]
+    n_pl = len(all_in)  # 9
+
+    def kernel(*refs):
+        cand_refs = refs[:n_pl]
+        out_refs = refs[n_pl:n_pl + 3]
+        scratch = refs[n_pl + 3:n_pl + 3 + n_pl]
+        accs = refs[n_pl + 3 + n_pl:n_pl + 3 + n_pl + 3]
+        sems = refs[-2]
+        out_sems = refs[-1]
+
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        r = (i + 1) * py + (j + 1)
+        for d in _start_stencil(cand_refs, scratch, sems, r, py):
+            d.wait()
+
+        sx, sy, sz, svx, svy, svz, sm, sr, sp = scratch
+
+        def body(kb, _):
+            def own(s):
+                return _col(s[4, pl.ds(kb + 1, 1), :])
+
+            o_x, o_y, o_z = own(sx), own(sy), own(sz)
+            o_vx, o_vy, o_vz = own(svx), own(svy), own(svz)
+            o_m = own(sm)
+            rho_i = jnp.maximum(own(sr), _EPS)
+            pi_term = own(sp) / (rho_i * rho_i)
+
+            fx = jnp.zeros((128, 1), jnp.float32)
+            fy = jnp.zeros((128, 1), jnp.float32)
+            fz = jnp.zeros((128, 1), jnp.float32)
+            for g in range(9):
+                for t in range(3):
+                    sl = lambda s: s[g, pl.ds(kb + t, 1), :]   # (1, 128)
+                    dx = sl(sx) - o_x
+                    dy = sl(sy) - o_y
+                    dz = sl(sz) - o_z
+                    d2 = dx * dx + dy * dy + dz * dz
+                    live = (d2 > _EPS) & (d2 < h2) & (sl(sm) > 0)
+                    inv_d = jax.lax.rsqrt(jnp.where(live, d2, 1.0))
+                    dist = d2 * inv_d
+
+                    rho_j = jnp.maximum(sl(sr), _EPS)
+                    q1 = 1.0 - dist / h
+                    o1d = b_w * q1 * q1
+                    coeff = pi_term + sl(sp) / (rho_j * rho_j)
+                    s_p = jnp.where(live, (mass * mass) * coeff * o1d * inv_d, 0.0)
+                    fx = fx + jnp.sum(s_p * dx, axis=1, keepdims=True)
+                    fy = fy + jnp.sum(s_p * dy, axis=1, keepdims=True)
+                    fz = fz + jnp.sum(s_p * dz, axis=1, keepdims=True)
+
+                    o2d = c_w * q1
+                    s_v = jnp.where(live, (mu * mass) * o2d / rho_j, 0.0)
+                    fx = fx + jnp.sum(s_v * (sl(svx) - o_vx), axis=1, keepdims=True)
+                    fy = fy + jnp.sum(s_v * (sl(svy) - o_vy), axis=1, keepdims=True)
+                    fz = fz + jnp.sum(s_v * (sl(svz) - o_vz), axis=1, keepdims=True)
+
+            accs[0][0, pl.ds(kb + 1, 1), :] = _col(fx * o_m)
+            accs[1][0, pl.ds(kb + 1, 1), :] = _col(fy * o_m)
+            accs[2][0, pl.ds(kb + 1, 1), :] = _col(fz * o_m)
+            return 0
+
+        jax.lax.fori_loop(0, nblk, body, 0)
+        for t in range(3):
+            d = pltpu.make_async_copy(accs[t], out_refs[t].at[pl.ds(r, 1), :, :],
+                                      out_sems.at[t])
+            d.start()
+            d.wait()
+
+    shape = jax.ShapeDtypeStruct(spec.plane_shape, jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=(spec.nx, spec.ny),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_pl,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        out_shape=[shape, shape, shape],
+        scratch_shapes=(
+            [pltpu.VMEM((9, sub, 128), jnp.float32) for _ in range(n_pl)]
+            + [pltpu.VMEM((1, sub, 128), jnp.float32) for _ in range(3)]
+            + [pltpu.SemaphoreType.DMA((n_pl, 3)),
+               pltpu.SemaphoreType.DMA((3,))]
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(*all_in)

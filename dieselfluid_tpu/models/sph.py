@@ -51,21 +51,35 @@ class Simulation:
             state = init_lattice_state(n3, params)
         params = calibrate_rest_density(state.pos, params)
 
-        if config.neighbors == "cellgrid":
-            spec = CellGridSpec.for_domain((-1, -1, -1), (1, 1, 1), params.h,
-                                           capacity=config.cell_capacity)
-            nfn = lambda pos: cell_grid_neighborhood(
-                pos, pos, params.h, config.max_neighbors, spec)
-        else:
-            nfn = lambda pos: brute_force_neighborhood(
-                pos, pos, params.h, config.max_neighbors)
-
         delta = 0.0
         if config.solver == "pcisph":
             delta = compute_pci_delta(params, dx)
-            step_fn = lambda s: pcisph_step(s, params, delta, neighbor_fn=nfn)
+
+        if config.neighbors == "dense":
+            # Pallas dense-cell pipeline (TPU production path)
+            from dieselfluid_tpu.ops.cellops import DenseCellSpec
+            from dieselfluid_tpu.solvers.dense_step import (
+                dense_pcisph_step, dense_wcsph_step)
+
+            dspec = DenseCellSpec.for_domain((-1, -1, -1), (1, 1, 1), params.h,
+                                             capacity=config.cell_capacity)
+            if config.solver == "pcisph":
+                step_fn = lambda s: dense_pcisph_step(s, params, dspec, delta)
+            else:
+                step_fn = lambda s: dense_wcsph_step(s, params, dspec)
         else:
-            step_fn = lambda s: wcsph_step(s, params, neighbor_fn=nfn)
+            if config.neighbors == "cellgrid":
+                spec = CellGridSpec.for_domain((-1, -1, -1), (1, 1, 1), params.h,
+                                               capacity=config.cell_capacity)
+                nfn = lambda pos: cell_grid_neighborhood(
+                    pos, pos, params.h, config.max_neighbors, spec)
+            else:
+                nfn = lambda pos: brute_force_neighborhood(
+                    pos, pos, params.h, config.max_neighbors)
+            if config.solver == "pcisph":
+                step_fn = lambda s: pcisph_step(s, params, delta, neighbor_fn=nfn)
+            else:
+                step_fn = lambda s: wcsph_step(s, params, neighbor_fn=nfn)
 
         return Simulation(config=config, params=params, state=state,
                           step_fn=step_fn, delta=delta, dx=dx)

@@ -73,18 +73,21 @@ def density_planes(planes: Dict[str, jnp.ndarray], spec: DenseCellSpec,
                                 (sx, sy, sz, sm), sems, r, py):
             d.wait()
 
-        def body(kb, _):
-            own_x = _col(sx[4, pl.ds(kb + 1, 1), :])      # (128, 1)
-            own_y = _col(sy[4, pl.ds(kb + 1, 1), :])
-            own_z = _col(sz[4, pl.ds(kb + 1, 1), :])
-            own_m = _col(sm[4, pl.ds(kb + 1, 1), :])
+        # Static z sweep: nblk is small (sub-2), so unroll with static
+        # sublane indices (dynamic sublane addressing inside fori_loop
+        # produced runtime "TPU backend error" faults at sub >= 5).
+        for kb in range(nblk):
+            own_x = _col(sx[4, kb + 1:kb + 2, :])          # (128, 1)
+            own_y = _col(sy[4, kb + 1:kb + 2, :])
+            own_z = _col(sz[4, kb + 1:kb + 2, :])
+            own_m = _col(sm[4, kb + 1:kb + 2, :])
             rho = jnp.zeros((128, 1), jnp.float32)
             for g in range(9):
                 for t in range(3):
-                    cx = sx[g, pl.ds(kb + t, 1), :]       # (1, 128)
-                    cy = sy[g, pl.ds(kb + t, 1), :]
-                    cz = sz[g, pl.ds(kb + t, 1), :]
-                    cm = sm[g, pl.ds(kb + t, 1), :]
+                    cx = sx[g, kb + t:kb + t + 1, :]       # (1, 128)
+                    cy = sy[g, kb + t:kb + t + 1, :]
+                    cz = sz[g, kb + t:kb + t + 1, :]
+                    cm = sm[g, kb + t:kb + t + 1, :]
                     dx = cx - own_x                        # (128, 128)
                     dy = cy - own_y
                     dz = cz - own_z
@@ -92,10 +95,7 @@ def density_planes(planes: Dict[str, jnp.ndarray], spec: DenseCellSpec,
                     q = 1.0 - d2 / h2
                     w = jnp.where(d2 < h2, a_w * q * q, 0.0) * cm
                     rho = rho + jnp.sum(w, axis=1, keepdims=True)
-            acc[0, pl.ds(kb + 1, 1), :] = _col(mass * rho * own_m)
-            return 0
-
-        jax.lax.fori_loop(0, nblk, body, 0)
+            acc[0, kb + 1:kb + 2, :] = _col(mass * rho * own_m)
         d = pltpu.make_async_copy(acc, out_ref.at[pl.ds(r, 1), :, :], out_sem)
         d.start()
         d.wait()
@@ -147,9 +147,9 @@ def force_planes(planes: Dict[str, jnp.ndarray], rho_plane, press_plane,
 
         sx, sy, sz, svx, svy, svz, sm, sr, sp = scratch
 
-        def body(kb, _):
+        for kb in range(nblk):
             def own(s):
-                return _col(s[4, pl.ds(kb + 1, 1), :])
+                return _col(s[4, kb + 1:kb + 2, :])
 
             o_x, o_y, o_z = own(sx), own(sy), own(sz)
             o_vx, o_vy, o_vz = own(svx), own(svy), own(svz)
@@ -162,7 +162,7 @@ def force_planes(planes: Dict[str, jnp.ndarray], rho_plane, press_plane,
             fz = jnp.zeros((128, 1), jnp.float32)
             for g in range(9):
                 for t in range(3):
-                    sl = lambda s: s[g, pl.ds(kb + t, 1), :]   # (1, 128)
+                    sl = lambda s, g=g, t=t, kb=kb: s[g, kb + t:kb + t + 1, :]
                     dx = sl(sx) - o_x
                     dy = sl(sy) - o_y
                     dz = sl(sz) - o_z
@@ -186,12 +186,9 @@ def force_planes(planes: Dict[str, jnp.ndarray], rho_plane, press_plane,
                     fy = fy + jnp.sum(s_v * (sl(svy) - o_vy), axis=1, keepdims=True)
                     fz = fz + jnp.sum(s_v * (sl(svz) - o_vz), axis=1, keepdims=True)
 
-            accs[0][0, pl.ds(kb + 1, 1), :] = _col(fx * o_m)
-            accs[1][0, pl.ds(kb + 1, 1), :] = _col(fy * o_m)
-            accs[2][0, pl.ds(kb + 1, 1), :] = _col(fz * o_m)
-            return 0
-
-        jax.lax.fori_loop(0, nblk, body, 0)
+            accs[0][0, kb + 1:kb + 2, :] = _col(fx * o_m)
+            accs[1][0, kb + 1:kb + 2, :] = _col(fy * o_m)
+            accs[2][0, kb + 1:kb + 2, :] = _col(fz * o_m)
         for t in range(3):
             d = pltpu.make_async_copy(accs[t], out_refs[t].at[pl.ds(r, 1), :, :],
                                       out_sems.at[t])

@@ -1,10 +1,11 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Metric: particle-steps/sec on the largest config the current build supports,
-run on whatever accelerator jax.devices() provides (the driver runs this on a
-real TPU chip). The reference publishes no speed numbers (BASELINE.md), so
-vs_baseline is reported against the driver's aspirational 1M-particle target
-config as particles*steps/sec normalized — vs_baseline = value / TARGET.
+Metric: particle-steps/sec on the Pallas dense-cell WCSPH pipeline (the
+production TPU path), measured with hard host-fetch synchronization (the
+axon tunnel's block_until_ready does not reliably wait — see
+.claude/skills/verify/SKILL.md). The reference publishes no speed numbers
+(BASELINE.md); vs_baseline normalizes against the driver's aspirational
+1M particle-steps/sec/chip target.
 """
 
 from __future__ import annotations
@@ -12,51 +13,77 @@ from __future__ import annotations
 import json
 import time
 
-import jax
-import jax.numpy as jnp
+import numpy as np
 
-
-# Aspirational normalizer: 1M particle-steps/sec/chip (BASELINE.json metric is
-# particle-steps/sec/chip at 1M particles; no published reference value).
 TARGET_PSTEPS_PER_SEC = 1.0e6
 
 
-def bench_wcsph(n3: int = 16, k: int = 96, steps: int = 20, warmup: int = 3):
+def bench_dense_wcsph(n3: int = 16, steps: int = 50, capacity: int = 16):
+    import jax
+
     from dieselfluid_tpu.config import FluidParams
     from dieselfluid_tpu.models.particles import dam_break_state
-    from dieselfluid_tpu.neighbors.calibrate import calibrate_rest_density
-    from dieselfluid_tpu.solvers.wcsph import rollout, wcsph_step
+    from dieselfluid_tpu.ops.cellops import DenseCellSpec
+    from dieselfluid_tpu.solvers.dense_step import dense_wcsph_step
 
     extent = 0.5
-    params = FluidParams.for_spacing((2.0 / n3) * extent)
+    dx = (2.0 / n3) * extent
+    params = FluidParams.for_spacing(dx)
     state = dam_break_state(n3, params, extent=extent)
-    params = calibrate_rest_density(state.pos, params)
-    n = state.n
+    params = params.replace(d0=float(1.1 * params.d0))
+    spec = DenseCellSpec.for_domain((-1, -1, -1), (1, 1, 1), params.h,
+                                    capacity=capacity)
+    step = jax.jit(lambda s: dense_wcsph_step(s, params, spec)[0])
 
-    from dieselfluid_tpu.neighbors.bruteforce import brute_force_neighborhood
-
-    nfn = lambda pos: brute_force_neighborhood(pos, pos, params.h, k)
-    step = lambda s: wcsph_step(s, params, neighbor_fn=nfn)
-
-    # Warmup / compile
-    s, _, _ = rollout(step, state, warmup)
-    jax.block_until_ready(s.pos)
-
+    s = step(state)
+    np.asarray(s.pos)                      # hard sync (compile + first step)
     t0 = time.perf_counter()
-    s, _, _ = rollout(step, s, steps)
-    jax.block_until_ready(s.pos)
+    for _ in range(steps):
+        s = step(s)
+    np.asarray(s.pos)                      # hard sync
     dt = time.perf_counter() - t0
+    n = s.pos.shape[0]
+    return n, steps, dt, n * steps / dt, "dense-pallas"
 
-    psteps_per_sec = n * steps / dt
-    return n, steps, dt, psteps_per_sec
+
+def bench_cellgrid_wcsph(n3: int = 16, steps: int = 20, k: int = 64):
+    """Fallback: XLA cell-grid path (runs anywhere)."""
+    import jax
+
+    from dieselfluid_tpu.config import FluidParams
+    from dieselfluid_tpu.models.particles import dam_break_state
+    from dieselfluid_tpu.neighbors.cellgrid import CellGridSpec, cell_grid_neighborhood
+    from dieselfluid_tpu.solvers.wcsph import wcsph_step
+
+    extent = 0.5
+    dx = (2.0 / n3) * extent
+    params = FluidParams.for_spacing(dx)
+    state = dam_break_state(n3, params, extent=extent)
+    params = params.replace(d0=float(1.1 * params.d0))
+    spec = CellGridSpec.for_domain((-1, -1, -1), (1, 1, 1), params.h, capacity=24)
+    nfn = lambda p: cell_grid_neighborhood(p, p, params.h, k, spec)
+    step = jax.jit(lambda s: wcsph_step(s, params, neighbor_fn=nfn)[0])
+
+    s = step(state)
+    np.asarray(s.pos)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        s = step(s)
+    np.asarray(s.pos)
+    dt = time.perf_counter() - t0
+    n = s.pos.shape[0]
+    return n, steps, dt, n * steps / dt, "xla-cellgrid"
 
 
 def main():
-    n, steps, dt, v = bench_wcsph()
+    try:
+        n, steps, dt, v, path = bench_dense_wcsph()
+    except Exception:
+        n, steps, dt, v, path = bench_cellgrid_wcsph()
     print(
         json.dumps(
             {
-                "metric": f"wcsph particle-steps/sec ({n} particles, bruteforce NN)",
+                "metric": f"wcsph particle-steps/sec ({n} particles, {path})",
                 "value": round(v, 1),
                 "unit": "particle-steps/sec",
                 "vs_baseline": round(v / TARGET_PSTEPS_PER_SEC, 4),

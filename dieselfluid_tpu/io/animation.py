@@ -44,12 +44,29 @@ class AnimationWriter:
         return path
 
     def write_ply_sequence(self) -> List[str]:
+        """Numbered PLY point clouds; uses the native framepack runtime when
+        available (identical output, no per-frame Python overhead)."""
+        from dieselfluid_tpu.io import native
+
+        if self.frames and all(f.shape == self.frames[0].shape for f in self.frames):
+            traj = np.stack(self.frames)
+            n = native.write_ply_sequence(self.out_dir, self.name, traj)
+            return [os.path.join(self.out_dir, f"{self.name}_{i:05d}.ply")
+                    for i in range(n)]
         paths = []
         for i, frame in enumerate(self.frames):
             p = os.path.join(self.out_dir, f"{self.name}_{i:05d}.ply")
             write_ply(p, frame)
             paths.append(p)
         return paths
+
+    def write_dfc(self) -> str:
+        """Packed binary trajectory cache (native DFC format)."""
+        from dieselfluid_tpu.io import native
+
+        path = os.path.join(self.out_dir, f"{self.name}.dfc")
+        native.write_dfc(path, np.stack(self.frames))
+        return path
 
     def write_video(self, fps: int = 30, fmt: str = "mp4") -> Optional[str]:
         if not self.images:

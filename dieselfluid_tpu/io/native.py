@@ -1,0 +1,119 @@
+"""ctypes bindings to the native framepack IO runtime (native/framepack.cpp).
+
+The shared library is compiled on first use (cc -O3 -shared) and cached next
+to the source; every entry point has a pure-Python fallback so the framework
+degrades gracefully without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libframepack.so")
+_SRC_PATH = os.path.join(_NATIVE_DIR, "framepack.cpp")
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    for cc in ("c++", "g++", "cc"):
+        try:
+            subprocess.run(
+                [cc, "-O3", "-shared", "-fPIC", _SRC_PATH, "-o", _LIB_PATH],
+                check=True, capture_output=True, timeout=120,
+            )
+            return True
+        except (subprocess.SubprocessError, FileNotFoundError):
+            continue
+    return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH) or (
+        os.path.exists(_SRC_PATH)
+        and os.path.getmtime(_SRC_PATH) > os.path.getmtime(_LIB_PATH)
+    ):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.framepack_write_ply.argtypes = [ctypes.c_char_p, f32p, ctypes.c_int64]
+    lib.framepack_write_ply.restype = ctypes.c_int
+    lib.framepack_write_ply_sequence.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, f32p, ctypes.c_int64, ctypes.c_int64]
+    lib.framepack_write_ply_sequence.restype = ctypes.c_int
+    lib.framepack_write_dfc.argtypes = [ctypes.c_char_p, f32p,
+                                        ctypes.c_int64, ctypes.c_int64]
+    lib.framepack_write_dfc.restype = ctypes.c_int
+    lib.framepack_read_dfc_header.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.framepack_read_dfc_header.restype = ctypes.c_int
+    lib.framepack_read_dfc.argtypes = [ctypes.c_char_p, f32p, ctypes.c_int64]
+    lib.framepack_read_dfc.restype = ctypes.c_int
+    _lib = lib
+    return _lib
+
+
+def write_ply_sequence(out_dir: str, name: str, trajectory: np.ndarray) -> int:
+    """(frames, N, 3) -> numbered PLY files; native fast path or Python fallback."""
+    traj = np.ascontiguousarray(trajectory, np.float32)
+    lib = get_lib()
+    if lib is not None:
+        return lib.framepack_write_ply_sequence(
+            out_dir.encode(), name.encode(), traj,
+            traj.shape[0], traj.shape[1])
+    from dieselfluid_tpu.io.animation import write_ply
+
+    for t in range(traj.shape[0]):
+        write_ply(os.path.join(out_dir, f"{name}_{t:05d}.ply"), traj[t])
+    return traj.shape[0]
+
+
+def write_dfc(path: str, trajectory: np.ndarray) -> None:
+    """Packed trajectory cache (native or numpy fallback)."""
+    traj = np.ascontiguousarray(trajectory, np.float32)
+    lib = get_lib()
+    if lib is not None:
+        rc = lib.framepack_write_dfc(path.encode(), traj,
+                                     traj.shape[0], traj.shape[1])
+        if rc == 0:
+            return
+    with open(path, "wb") as f:
+        f.write(b"DFC1")
+        f.write(np.asarray([traj.shape[0], traj.shape[1]], np.int64).tobytes())
+        f.write(traj.tobytes())
+
+
+def read_dfc(path: str) -> np.ndarray:
+    """Load a DFC trajectory -> (frames, N, 3)."""
+    lib = get_lib()
+    if lib is not None:
+        nf = ctypes.c_int64()
+        npart = ctypes.c_int64()
+        if lib.framepack_read_dfc_header(path.encode(), ctypes.byref(nf),
+                                         ctypes.byref(npart)) == 0:
+            out = np.empty((nf.value, npart.value, 3), np.float32)
+            if lib.framepack_read_dfc(path.encode(), out, out.size) == 0:
+                return out
+    with open(path, "rb") as f:
+        assert f.read(4) == b"DFC1", "bad DFC magic"
+        nf_, np_ = np.frombuffer(f.read(16), np.int64)
+        return np.frombuffer(f.read(int(nf_ * np_ * 3 * 4)),
+                             np.float32).reshape(int(nf_), int(np_), 3).copy()

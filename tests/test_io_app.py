@@ -181,3 +181,39 @@ class TestCLI:
                    "--solver", "wcsph"])
         assert rc == 0
         assert os.path.exists(tmp_path / "wcsph_5.npz")
+
+
+class TestNativeFramepack:
+    def test_ply_sequence_native_or_fallback(self, tmp_path):
+        import numpy as np
+        from dieselfluid_tpu.io import native
+        from dieselfluid_tpu.io.animation import read_ply
+
+        traj = np.random.default_rng(3).normal(size=(4, 100, 3)).astype(np.float32)
+        n = native.write_ply_sequence(str(tmp_path), "seq", traj)
+        assert n == 4
+        back = read_ply(str(tmp_path / "seq_00002.ply"))
+        np.testing.assert_array_equal(back, traj[2])
+
+    def test_dfc_roundtrip(self, tmp_path):
+        import numpy as np
+        from dieselfluid_tpu.io import native
+
+        traj = np.random.default_rng(4).normal(size=(3, 50, 3)).astype(np.float32)
+        p = str(tmp_path / "t.dfc")
+        native.write_dfc(p, traj)
+        back = native.read_dfc(p)
+        np.testing.assert_array_equal(back, traj)
+
+    def test_animation_writer_dfc(self, tmp_path):
+        import numpy as np
+        from dieselfluid_tpu.io.animation import AnimationWriter
+        from dieselfluid_tpu.io import native
+
+        w = AnimationWriter(str(tmp_path), "a")
+        for i in range(3):
+            w.add_frame(np.full((10, 3), float(i), np.float32))
+        p = w.write_dfc()
+        back = native.read_dfc(p)
+        assert back.shape == (3, 10, 3)
+        np.testing.assert_allclose(back[2], 2.0)

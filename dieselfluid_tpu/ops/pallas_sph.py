@@ -6,22 +6,41 @@ pcisph_kern0/1.comp): instead of per-particle LSH table fetches (pcisph.h
 get_sample's fixed 150-iteration loop), each Pallas program owns one (x, y)
 cell COLUMN of the dense 3D layout (ops/cellops.py): it DMAs its 3x3 column
 stencil into VMEM (three leading-dim copies per plane) and sweeps the z axis
-one 128-slot sublane-row block at a time, computing (128, 128) pairwise tiles
-against the 27 candidate sublane-rows of the stencil — all in VMEM, no sorts,
-no global gathers, no top_k (the XLA gather/top_k path measured ~1.4 s/step
-at 32k particles; this replaces it).
+one 128-slot sublane-row block at a time — all in VMEM, no sorts, no global
+gathers, no top_k.
 
-The z window covers whole sublane rows (kb-1, kb, kb+1) — a superset of the
-+-1-cell stencil; with cell edge >= h the d2 < h^2 test excludes the extra
-cells, so correctness is automatic and only the candidate count grows.
+Everything here is an instantiation of ONE generic `stencil sweep`:
+
+    out_c[i] = own_mask[i] * sum_j pair_fn(own[i], cand[j])_c
+
+over the 27-cell neighborhood, where `pair_fn` is a pure elementwise function
+of broadcastable own (128, 1) / candidate (1, L) channel dicts. Density,
+forces, and BOTH backward passes are just different pair functions; the
+backward pair function is derived from the forward one with `jax.vjp` inside
+the kernel (the adjoint of a symmetric pairwise sum is another pairwise sum
+with receiver/source roles swapped), so the public ops are `jax.custom_vjp`
+functions and the dense pipeline differentiates end-to-end.
+
+Tile shaping: the candidate z-window per own 128-slot block is its own
+sublane row (full 128 lanes) plus only the single geometrically adjacent
+z cell from the rows below/above (static lane slices of `capacity` lanes) —
+a 2.4x VPU saving over sweeping three full rows. Cell edge >= h makes the
+d2 < h^2 test exclude non-adjacent cells inside a row automatically.
+
+Mosaic workaround (round-1 fault): DMA slices MUST spell out every axis with
+`pl.ds(...)` — `ref.at[pl.ds(r, 3), :, :]` mis-lowers for sublane dims that
+are not tile-aligned (sub >= 5) and runtime-faults with `INTERNAL: TPU
+backend error`; `ref.at[pl.ds(r, 3), pl.ds(0, sub), pl.ds(0, 128)]` is
+correct. Verified on v5e.
 
 Self term: the (i,i) pair has r = 0 and contributes m*W0 to density —
-matching field.density_with_self — and exactly zero force (guarded rsqrt).
+matching field.density_with_self — and exactly zero force (masked rsqrt).
 """
 
 from __future__ import annotations
 
-from typing import Dict
+from functools import partial
+from typing import Callable, Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,163 +54,82 @@ _EPS = 1e-12
 
 
 def _col(v):
-    """(1, 128) row -> (128, 1) column (Mosaic supports this transpose)."""
+    """(1, L) row -> (L, 1) column (Mosaic supports this transpose)."""
     return jnp.transpose(v, (1, 0))
 
 
-def _start_stencil(cand_refs, scratches, sems, r, py):
-    dmas = []
-    for p, (ref, scr) in enumerate(zip(cand_refs, scratches)):
-        for g, dr in enumerate((-py, 0, py)):
-            d = pltpu.make_async_copy(
-                ref.at[pl.ds(r + dr - 1, 3), :, :],
-                scr.at[pl.ds(g * 3, 3), :, :],
-                sems.at[p, g],
-            )
-            d.start()
-            dmas.append(d)
-    return dmas
+# ---------------------------------------------------------------------------
+# Generic stencil sweep
+# ---------------------------------------------------------------------------
 
 
-def density_planes(planes: Dict[str, jnp.ndarray], spec: DenseCellSpec,
-                   k: KernelCoeffs, mass: float) -> jnp.ndarray:
-    """rho plane (rows, sub, 128) from x/y/z/mask planes."""
-    py = spec.py
-    sub = spec.sub
-    a_w, h2 = float(k.a), float(k.h * k.h)
+def _sweep(pair_fn: Callable, in_names: Sequence[str], n_out: int,
+           planes: Sequence[jnp.ndarray], spec: DenseCellSpec):
+    """Run `pair_fn` over the 3x3-column z-swept stencil; n_out (rows,sub,128)
+    planes of per-slot sums (ghost rows of the outputs are garbage — callers
+    sanitize with the mask plane)."""
+    py, sub, cap = spec.py, spec.sub, spec.capacity
+    n_in = len(in_names)
     nblk = sub - 2
-
-    names = ("x", "y", "z", "mask")
-    n_pl = len(names)
-
-    def kernel(x_ref, y_ref, z_ref, m_ref, out_ref,
-               sx, sy, sz, sm, acc, sems, out_sem):
-        i = pl.program_id(0)
-        j = pl.program_id(1)
-        r = (i + 1) * py + (j + 1)
-        for d in _start_stencil((x_ref, y_ref, z_ref, m_ref),
-                                (sx, sy, sz, sm), sems, r, py):
-            d.wait()
-
-        # Static z sweep: nblk is small (sub-2), so unroll with static
-        # sublane indices (dynamic sublane addressing inside fori_loop
-        # produced runtime "TPU backend error" faults at sub >= 5).
-        for kb in range(nblk):
-            own_x = _col(sx[4, kb + 1:kb + 2, :])          # (128, 1)
-            own_y = _col(sy[4, kb + 1:kb + 2, :])
-            own_z = _col(sz[4, kb + 1:kb + 2, :])
-            own_m = _col(sm[4, kb + 1:kb + 2, :])
-            rho = jnp.zeros((128, 1), jnp.float32)
-            for g in range(9):
-                for t in range(3):
-                    cx = sx[g, kb + t:kb + t + 1, :]       # (1, 128)
-                    cy = sy[g, kb + t:kb + t + 1, :]
-                    cz = sz[g, kb + t:kb + t + 1, :]
-                    cm = sm[g, kb + t:kb + t + 1, :]
-                    dx = cx - own_x                        # (128, 128)
-                    dy = cy - own_y
-                    dz = cz - own_z
-                    d2 = dx * dx + dy * dy + dz * dz
-                    q = 1.0 - d2 / h2
-                    w = jnp.where(d2 < h2, a_w * q * q, 0.0) * cm
-                    rho = rho + jnp.sum(w, axis=1, keepdims=True)
-            acc[0, kb + 1:kb + 2, :] = _col(mass * rho * own_m)
-        d = pltpu.make_async_copy(acc, out_ref.at[pl.ds(r, 1), :, :], out_sem)
-        d.start()
-        d.wait()
-
-    return pl.pallas_call(
-        kernel,
-        grid=(spec.nx, spec.ny),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_pl,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct(spec.plane_shape, jnp.float32),
-        scratch_shapes=(
-            [pltpu.VMEM((9, sub, 128), jnp.float32) for _ in range(n_pl)]
-            + [pltpu.VMEM((1, sub, 128), jnp.float32),
-               pltpu.SemaphoreType.DMA((n_pl, 3)),
-               pltpu.SemaphoreType.DMA(())]
-        ),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(planes["x"], planes["y"], planes["z"], planes["mask"])
-
-
-def force_planes(planes: Dict[str, jnp.ndarray], rho_plane, press_plane,
-                 spec: DenseCellSpec, k: KernelCoeffs, mass: float, mu: float):
-    """(fx, fy, fz) planes: symmetric pressure force + viscosity."""
-    py = spec.py
-    sub = spec.sub
-    h = float(k.h)
-    b_w = float(k.b)
-    c_w = float(k.c)
-    h2 = h * h
-    nblk = sub - 2
-
-    all_in = [planes[n] for n in ("x", "y", "z", "vx", "vy", "vz", "mask")] \
-        + [rho_plane, press_plane]
-    n_pl = len(all_in)  # 9
 
     def kernel(*refs):
-        cand_refs = refs[:n_pl]
-        out_refs = refs[n_pl:n_pl + 3]
-        scratch = refs[n_pl + 3:n_pl + 3 + n_pl]
-        accs = refs[n_pl + 3 + n_pl:n_pl + 3 + n_pl + 3]
-        sems = refs[-2]
-        out_sems = refs[-1]
+        in_refs = refs[:n_in]
+        out_refs = refs[n_in:n_in + n_out]
+        scratch = refs[n_in + n_out:n_in + n_out + n_in]
+        accs = refs[n_in + n_out + n_in:n_in + n_out + n_in + n_out]
+        in_sems, out_sems = refs[-2], refs[-1]
 
         i = pl.program_id(0)
         j = pl.program_id(1)
         r = (i + 1) * py + (j + 1)
-        for d in _start_stencil(cand_refs, scratch, sems, r, py):
+        dmas = []
+        for p, (ref, scr) in enumerate(zip(in_refs, scratch)):
+            for g, dr in enumerate((-py, 0, py)):
+                d = pltpu.make_async_copy(
+                    ref.at[pl.ds(r + dr - 1, 3), pl.ds(0, sub), pl.ds(0, 128)],
+                    scr.at[pl.ds(g * 3, 3), pl.ds(0, sub), pl.ds(0, 128)],
+                    in_sems.at[p, g],
+                )
+                d.start()
+                dmas.append(d)
+        for d in dmas:
             d.wait()
 
-        sx, sy, sz, svx, svy, svz, sm, sr, sp = scratch
-
+        # Static z sweep: nblk is small, so unroll with static sublane
+        # indices (dynamic sublane addressing inside fori_loop faulted on
+        # hardware in round 1 and is not worth re-litigating).
         for kb in range(nblk):
-            def own(s):
-                return _col(s[4, kb + 1:kb + 2, :])
+            own = {n: _col(scratch[p][4, kb + 1:kb + 2, :])
+                   for p, n in enumerate(in_names)}
+            outs = [jnp.zeros((128, 1), jnp.float32) for _ in range(n_out)]
 
-            o_x, o_y, o_z = own(sx), own(sy), own(sz)
-            o_vx, o_vy, o_vz = own(svx), own(svy), own(svz)
-            o_m = own(sm)
-            rho_i = jnp.maximum(own(sr), _EPS)
-            pi_term = own(sp) / (rho_i * rho_i)
+            def accumulate(cand):
+                contrib = pair_fn(own, cand)
+                for o in range(n_out):
+                    outs[o] = outs[o] + jnp.sum(contrib[o], axis=1,
+                                                keepdims=True)
 
-            fx = jnp.zeros((128, 1), jnp.float32)
-            fy = jnp.zeros((128, 1), jnp.float32)
-            fz = jnp.zeros((128, 1), jnp.float32)
             for g in range(9):
-                for t in range(3):
-                    sl = lambda s, g=g, t=t, kb=kb: s[g, kb + t:kb + t + 1, :]
-                    dx = sl(sx) - o_x
-                    dy = sl(sy) - o_y
-                    dz = sl(sz) - o_z
-                    d2 = dx * dx + dy * dy + dz * dz
-                    live = (d2 > _EPS) & (d2 < h2) & (sl(sm) > 0)
-                    inv_d = jax.lax.rsqrt(jnp.where(live, d2, 1.0))
-                    dist = d2 * inv_d
+                # Center row: all 128 lanes (z cells at the same sublane row).
+                accumulate({n: scratch[p][g, kb + 1:kb + 2, :]
+                            for p, n in enumerate(in_names)})
+                # Row below: only its LAST z cell borders our first cell.
+                accumulate({n: scratch[p][g, kb:kb + 1, 128 - cap:128]
+                            for p, n in enumerate(in_names)})
+                # Row above: only its FIRST z cell borders our last cell.
+                accumulate({n: scratch[p][g, kb + 2:kb + 3, 0:cap]
+                            for p, n in enumerate(in_names)})
 
-                    rho_j = jnp.maximum(sl(sr), _EPS)
-                    q1 = 1.0 - dist / h
-                    o1d = b_w * q1 * q1
-                    coeff = pi_term + sl(sp) / (rho_j * rho_j)
-                    s_p = jnp.where(live, (mass * mass) * coeff * o1d * inv_d, 0.0)
-                    fx = fx + jnp.sum(s_p * dx, axis=1, keepdims=True)
-                    fy = fy + jnp.sum(s_p * dy, axis=1, keepdims=True)
-                    fz = fz + jnp.sum(s_p * dz, axis=1, keepdims=True)
+            own_m = own["mask"]
+            for o in range(n_out):
+                accs[o][0, kb + 1:kb + 2, :] = _col(outs[o] * own_m)
 
-                    o2d = c_w * q1
-                    s_v = jnp.where(live, (mu * mass) * o2d / rho_j, 0.0)
-                    fx = fx + jnp.sum(s_v * (sl(svx) - o_vx), axis=1, keepdims=True)
-                    fy = fy + jnp.sum(s_v * (sl(svy) - o_vy), axis=1, keepdims=True)
-                    fz = fz + jnp.sum(s_v * (sl(svz) - o_vz), axis=1, keepdims=True)
-
-            accs[0][0, kb + 1:kb + 2, :] = _col(fx * o_m)
-            accs[1][0, kb + 1:kb + 2, :] = _col(fy * o_m)
-            accs[2][0, kb + 1:kb + 2, :] = _col(fz * o_m)
-        for t in range(3):
-            d = pltpu.make_async_copy(accs[t], out_refs[t].at[pl.ds(r, 1), :, :],
-                                      out_sems.at[t])
+        for o in range(n_out):
+            d = pltpu.make_async_copy(
+                accs[o].at[pl.ds(0, 1), pl.ds(0, sub), pl.ds(0, 128)],
+                out_refs[o].at[pl.ds(r, 1), pl.ds(0, sub), pl.ds(0, 128)],
+                out_sems.at[o],
+            )
             d.start()
             d.wait()
 
@@ -199,14 +137,173 @@ def force_planes(planes: Dict[str, jnp.ndarray], rho_plane, press_plane,
     return pl.pallas_call(
         kernel,
         grid=(spec.nx, spec.ny),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_pl,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
-        out_shape=[shape, shape, shape],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_out,
+        out_shape=[shape] * n_out,
         scratch_shapes=(
-            [pltpu.VMEM((9, sub, 128), jnp.float32) for _ in range(n_pl)]
-            + [pltpu.VMEM((1, sub, 128), jnp.float32) for _ in range(3)]
-            + [pltpu.SemaphoreType.DMA((n_pl, 3)),
-               pltpu.SemaphoreType.DMA((3,))]
+            [pltpu.VMEM((9, sub, 128), jnp.float32) for _ in range(n_in)]
+            + [pltpu.VMEM((1, sub, 128), jnp.float32) for _ in range(n_out)]
+            + [pltpu.SemaphoreType.DMA((n_in, 3)),
+               pltpu.SemaphoreType.DMA((n_out,))]
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(*all_in)
+    )(*planes)
+
+
+def _bwd_pair(pair_fn: Callable, n_out: int, grad_names: Sequence[str]):
+    """Adjoint pair function of `pair_fn` via jax.vjp.
+
+    For f_k = sum_j g(u_k, u_j), the cotangent w.r.t. u_k is
+        sum_j [ d1 g(u_k, u_j)^T ct_k  +  d2 g(u_j, u_k)^T ct_j ]
+    i.e. another pairwise sweep whose channels are the primal channels plus
+    the scattered output cotangents (`ct_0..ct_{n-1}`).
+    """
+    ct_names = [f"ct_{o}" for o in range(n_out)]
+
+    def pair(own, cand):
+        own_p = {k: v for k, v in own.items() if not k.startswith("ct_")}
+        cand_p = {k: v for k, v in cand.items() if not k.startswith("ct_")}
+        shape = jnp.broadcast_shapes(own["x"].shape, cand["x"].shape)
+        ct_own = tuple(jnp.broadcast_to(own[c], shape) for c in ct_names)
+        ct_cand = tuple(jnp.broadcast_to(cand[c], shape) for c in ct_names)
+        # own as receiver of cand's contribution
+        _, vjp1 = jax.vjp(lambda p: pair_fn(p, cand_p), own_p)
+        t1 = vjp1(ct_own)[0]
+        # own as source of cand's received contribution (roles swapped)
+        _, vjp2 = jax.vjp(lambda p: pair_fn(cand_p, p), own_p)
+        t2 = vjp2(ct_cand)[0]
+        return tuple(t1[g] + t2[g] for g in grad_names)
+
+    return pair
+
+
+def _mask_where(mask_plane, value_plane):
+    """Zero ghost/garbage slots without NaN leakage (where, not multiply)."""
+    return jnp.where(mask_plane > 0, value_plane, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Density
+# ---------------------------------------------------------------------------
+
+_D_IN = ("x", "y", "z", "mask")
+
+
+def _density_pair(k: KernelCoeffs, mass: float):
+    a_w, h2 = float(k.a), float(k.h) ** 2
+
+    def pair(own, cand):
+        dx = cand["x"] - own["x"]
+        dy = cand["y"] - own["y"]
+        dz = cand["z"] - own["z"]
+        d2 = dx * dx + dy * dy + dz * dz
+        q = 1.0 - d2 / h2
+        w = jnp.where(d2 < h2, a_w * q * q, 0.0) * cand["mask"]
+        return (mass * w,)
+
+    return pair
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def density_planes(planes: Dict[str, jnp.ndarray], spec: DenseCellSpec,
+                   k: KernelCoeffs, mass: float) -> jnp.ndarray:
+    """rho plane (rows, sub, 128) from x/y/z/mask planes. Differentiable
+    w.r.t. the position planes (capability of pcisph.h particle_density,
+    plus the autodiff the reference never had)."""
+    (rho,) = _sweep(_density_pair(k, mass), _D_IN,
+                    1, [planes[n] for n in _D_IN], spec)
+    return _mask_where(planes["mask"], rho)
+
+
+def _density_fwd(planes, spec, k, mass):
+    return density_planes(planes, spec, k, mass), planes
+
+
+def _density_bwd(spec, k, mass, planes, ct):
+    ct = _mask_where(planes["mask"], ct)
+    names = _D_IN + ("ct_0",)
+    ins = [planes[n] for n in _D_IN] + [ct]
+    grads = _sweep(_bwd_pair(_density_pair(k, mass), 1, ("x", "y", "z")),
+                   names, 3, ins, spec)
+    out = {n: _mask_where(planes["mask"], g)
+           for n, g in zip(("x", "y", "z"), grads)}
+    return ({n: out.get(n, jnp.zeros_like(v)) for n, v in planes.items()},)
+
+
+density_planes.defvjp(_density_fwd, _density_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Forces (symmetric pressure + viscosity)
+# ---------------------------------------------------------------------------
+
+_F_IN = ("x", "y", "z", "vx", "vy", "vz", "mask", "rho", "press")
+
+
+def _force_pair(k: KernelCoeffs, mass: float, mu: float):
+    h, b_w, c_w = float(k.h), float(k.b), float(k.c)
+    h2 = h * h
+
+    def pair(own, cand):
+        dx = cand["x"] - own["x"]
+        dy = cand["y"] - own["y"]
+        dz = cand["z"] - own["z"]
+        d2 = dx * dx + dy * dy + dz * dz
+        live = (d2 > _EPS) & (d2 < h2) & (cand["mask"] > 0)
+        inv_d = jax.lax.rsqrt(jnp.where(live, d2, 1.0))
+        dist = d2 * inv_d
+
+        rho_i = jnp.maximum(own["rho"], _EPS)
+        rho_j = jnp.maximum(cand["rho"], _EPS)
+        pi_term = own["press"] / (rho_i * rho_i)
+        q1 = 1.0 - dist / h
+        o1d = b_w * q1 * q1
+        coeff = pi_term + cand["press"] / (rho_j * rho_j)
+        s_p = jnp.where(live, (mass * mass) * coeff * o1d * inv_d, 0.0)
+
+        o2d = c_w * q1
+        s_v = jnp.where(live, (mu * mass) * o2d / rho_j, 0.0)
+        return (s_p * dx + s_v * (cand["vx"] - own["vx"]),
+                s_p * dy + s_v * (cand["vy"] - own["vy"]),
+                s_p * dz + s_v * (cand["vz"] - own["vz"]))
+
+    return pair
+
+
+_F_GRAD = ("x", "y", "z", "vx", "vy", "vz", "rho", "press")
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def force_planes(planes: Dict[str, jnp.ndarray], rho_plane, press_plane,
+                 spec: DenseCellSpec, k: KernelCoeffs, mass: float, mu: float):
+    """(fx, fy, fz) planes: symmetric pressure force + viscosity
+    (capability of pcisph.h pressure_force/viscosity_force), differentiable
+    w.r.t. positions, velocities, densities and pressures."""
+    ins = dict(planes)
+    ins["rho"], ins["press"] = rho_plane, press_plane
+    fx, fy, fz = _sweep(_force_pair(k, mass, mu), _F_IN,
+                        3, [ins[n] for n in _F_IN], spec)
+    m = planes["mask"]
+    return _mask_where(m, fx), _mask_where(m, fy), _mask_where(m, fz)
+
+
+def _force_fwd(planes, rho_plane, press_plane, spec, k, mass, mu):
+    out = force_planes(planes, rho_plane, press_plane, spec, k, mass, mu)
+    return out, (planes, rho_plane, press_plane)
+
+
+def _force_bwd(spec, k, mass, mu, res, cts):
+    planes, rho_plane, press_plane = res
+    m = planes["mask"]
+    ins = dict(planes)
+    ins["rho"], ins["press"] = rho_plane, press_plane
+    names = _F_IN + ("ct_0", "ct_1", "ct_2")
+    arrs = [ins[n] for n in _F_IN] + [_mask_where(m, c) for c in cts]
+    grads = _sweep(_bwd_pair(_force_pair(k, mass, mu), 3, _F_GRAD),
+                   names, len(_F_GRAD), arrs, spec)
+    g = {n: _mask_where(m, gr) for n, gr in zip(_F_GRAD, grads)}
+    d_planes = {n: g.get(n, jnp.zeros_like(v)) for n, v in planes.items()}
+    return (d_planes, g["rho"], g["press"])
+
+
+force_planes.defvjp(_force_fwd, _force_bwd)

@@ -1,24 +1,33 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Metric: particle-steps/sec on the Pallas dense-cell WCSPH pipeline (the
-production TPU path), measured with hard host-fetch synchronization (the
-axon tunnel's block_until_ready does not reliably wait — see
-.claude/skills/verify/SKILL.md). The reference publishes no speed numbers
-(BASELINE.md); vs_baseline normalizes against the driver's aspirational
-1M particle-steps/sec/chip target.
+Headline metric (BASELINE.json line 1): particle-steps/sec/chip at 1M
+particles on the Pallas dense-cell WCSPH pipeline (the production TPU path),
+measured with hard host-fetch synchronization (the axon tunnel's
+block_until_ready does not reliably wait — see .claude/skills/verify/SKILL.md).
+vs_baseline normalizes against the driver's 1M particle-steps/sec/chip target.
+
+Secondary metrics (written to BENCH_DETAILS.json next to this file, and to
+stderr): throughput at 32k/262k particles and the forward+backward 1080p
+differentiable-render time (BASELINE.json line 2).
+
+If the production path fails the metric name SAYS SO LOUDLY ("FALLBACK")
+and the traceback goes to stderr — a silent 20x degradation must not look
+like a healthy number (round-1 verdict, weak #8).
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
+import traceback
 
 import numpy as np
 
 TARGET_PSTEPS_PER_SEC = 1.0e6
 
 
-def bench_dense_wcsph(n3: int = 16, steps: int = 50, capacity: int = 16):
+def bench_dense_wcsph(n3: int, steps: int, capacity: int = 16):
     import jax
 
     from dieselfluid_tpu.config import FluidParams
@@ -31,19 +40,56 @@ def bench_dense_wcsph(n3: int = 16, steps: int = 50, capacity: int = 16):
     params = FluidParams.for_spacing(dx)
     state = dam_break_state(n3, params, extent=extent)
     params = params.replace(d0=float(1.1 * params.d0))
-    spec = DenseCellSpec.for_domain((-1, -1, -1), (1, 1, 1), params.h,
+    # Quarter-cell domain offset: lattice planes sit mid-cell, so float
+    # rounding at cell boundaries cannot spill whole planes over capacity.
+    off = params.h / 4.0
+    spec = DenseCellSpec.for_domain((-1 - off,) * 3, (1 + off,) * 3, params.h,
                                     capacity=capacity)
-    step = jax.jit(lambda s: dense_wcsph_step(s, params, spec)[0])
+    step = jax.jit(lambda s: dense_wcsph_step(s, params, spec))
 
-    s = step(state)
+    s, diag = step(state)
     np.asarray(s.pos)                      # hard sync (compile + first step)
+    overflow = [diag.overflow]
     t0 = time.perf_counter()
     for _ in range(steps):
-        s = step(s)
+        s, diag = step(s)
+        overflow.append(diag.overflow)
     np.asarray(s.pos)                      # hard sync
     dt = time.perf_counter() - t0
+    assert np.isfinite(np.asarray(s.pos)).all(), "non-finite trajectory"
     n = s.pos.shape[0]
-    return n, steps, dt, n * steps / dt, "dense-pallas"
+    return {"n": n, "steps": steps, "ms_per_step": dt / steps * 1e3,
+            "psteps_per_sec": n * steps / dt,
+            "max_overflow": int(np.max(np.asarray(overflow)))}
+
+
+def bench_render_1080p(n_particles: int = 4096, frames: int = 5):
+    """Forward+backward differentiable splat render at 1920x1080."""
+    import jax
+    import jax.numpy as jnp
+
+    from dieselfluid_tpu.render.camera import Camera
+    from dieselfluid_tpu.render.splat import splat_particles
+
+    key = jax.random.PRNGKey(0)
+    pos = jax.random.uniform(key, (n_particles, 3), jnp.float32, -0.5, 0.5)
+    cam = Camera.at((0.0, 0.0, -2.5), front=(0.0, 0.0, 1.0),
+                    fov_deg=60.0, aspect=1920.0 / 1080.0)
+    target = jnp.zeros((1080, 1920, 3), jnp.float32)
+
+    def loss(p):
+        img = splat_particles(p, 0.02, cam, width=1920, height=1080)
+        return jnp.sum((img.color - target) ** 2)
+
+    g = jax.jit(jax.grad(loss))
+    np.asarray(g(pos))                     # compile + first frame
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        out = g(pos)
+    np.asarray(out)
+    dt = time.perf_counter() - t0
+    return {"n": n_particles, "frames": frames,
+            "fwd_bwd_ms_per_frame": dt / frames * 1e3}
 
 
 def bench_cellgrid_wcsph(n3: int = 16, steps: int = 20, k: int = 64):
@@ -72,24 +118,50 @@ def bench_cellgrid_wcsph(n3: int = 16, steps: int = 20, k: int = 64):
     np.asarray(s.pos)
     dt = time.perf_counter() - t0
     n = s.pos.shape[0]
-    return n, steps, dt, n * steps / dt, "xla-cellgrid"
+    return {"n": n, "steps": steps, "ms_per_step": dt / steps * 1e3,
+            "psteps_per_sec": n * steps / dt}
 
 
 def main():
+    details = {}
     try:
-        n, steps, dt, v, path = bench_dense_wcsph()
+        head = bench_dense_wcsph(n3=100, steps=10)
+        details["dense_1m"] = head
+        metric = f"wcsph particle-steps/sec (1,000,000 particles, dense-pallas)"
+        value = head["psteps_per_sec"]
     except Exception:
-        n, steps, dt, v, path = bench_cellgrid_wcsph()
-    print(
-        json.dumps(
-            {
-                "metric": f"wcsph particle-steps/sec ({n} particles, {path})",
-                "value": round(v, 1),
-                "unit": "particle-steps/sec",
-                "vs_baseline": round(v / TARGET_PSTEPS_PER_SEC, 4),
-            }
-        )
-    )
+        traceback.print_exc()
+        print("!! dense-pallas 1M path FAILED — falling back to XLA cell-grid "
+              "at 4k particles; this number is NOT the baseline config",
+              file=sys.stderr)
+        fb = bench_cellgrid_wcsph()
+        details["fallback"] = fb
+        metric = (f"FALLBACK wcsph particle-steps/sec ({fb['n']} particles, "
+                  "xla-cellgrid; dense path FAILED)")
+        value = fb["psteps_per_sec"]
+
+    for name, fn, kw in (
+        ("dense_32k", bench_dense_wcsph, {"n3": 32, "steps": 30}),
+        ("dense_262k", bench_dense_wcsph, {"n3": 64, "steps": 15}),
+        ("render_1080p_fwd_bwd", bench_render_1080p, {}),
+    ):
+        try:
+            details[name] = fn(**kw)
+        except Exception as e:  # secondary metrics must not kill the headline
+            details[name] = {"error": repr(e)}
+    print(json.dumps(details, indent=1), file=sys.stderr)
+    try:
+        with open(__file__.replace("bench.py", "BENCH_DETAILS.json"), "w") as f:
+            json.dump(details, f, indent=1)
+    except OSError:
+        pass
+
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 1),
+        "unit": "particle-steps/sec",
+        "vs_baseline": round(value / TARGET_PSTEPS_PER_SEC, 4),
+    }))
 
 
 if __name__ == "__main__":

@@ -82,56 +82,78 @@ def _sweep(pair_fn: Callable, in_names: Sequence[str], n_out: int,
         i = pl.program_id(0)
         j = pl.program_id(1)
         r = (i + 1) * py + (j + 1)
-        dmas = []
-        for p, (ref, scr) in enumerate(zip(in_refs, scratch)):
-            for g, dr in enumerate((-py, 0, py)):
+        m_idx = in_names.index("mask")
+
+        def stencil_dmas(which):
+            dmas = []
+            for p in which:
+                for g, dr in enumerate((-py, 0, py)):
+                    d = pltpu.make_async_copy(
+                        in_refs[p].at[pl.ds(r + dr - 1, 3), pl.ds(0, sub),
+                                      pl.ds(0, 128)],
+                        scratch[p].at[pl.ds(g * 3, 3), pl.ds(0, sub),
+                                      pl.ds(0, 128)],
+                        in_sems.at[p, g],
+                    )
+                    d.start()
+                    dmas.append(d)
+            for d in dmas:
+                d.wait()
+
+        # Mask column first: an empty own column (no particles anywhere in
+        # this (x, y) cell column) skips the other DMAs and all compute —
+        # the dense layout's occupancy is data-dependent (a dam break fills
+        # an eighth of the domain), and empty-cell tiles dominate otherwise.
+        stencil_dmas([m_idx])
+        col_any = jnp.max(scratch[m_idx][4]) > 0.0
+
+        @pl.when(col_any)
+        def _column():
+            stencil_dmas([p for p in range(n_in) if p != m_idx])
+
+            # Static z sweep: nblk is small, so unroll with static sublane
+            # indices (dynamic sublane addressing inside fori_loop faulted
+            # on hardware in round 1 and is not worth re-litigating).
+            for kb in range(nblk):
+                own = {n: _col(scratch[p][4, kb + 1:kb + 2, :])
+                       for p, n in enumerate(in_names)}
+
+                # Skip z blocks with no particles in the own row.
+                @pl.when(jnp.max(own["mask"]) > 0.0)
+                def _block(kb=kb, own=own):
+                    outs = [jnp.zeros((128, 1), jnp.float32)
+                            for _ in range(n_out)]
+
+                    def accumulate(cand):
+                        contrib = pair_fn(own, cand)
+                        for o in range(n_out):
+                            outs[o] = outs[o] + jnp.sum(contrib[o], axis=1,
+                                                        keepdims=True)
+
+                    for g in range(9):
+                        # Center row: all 128 lanes (same sublane row).
+                        accumulate({n: scratch[p][g, kb + 1:kb + 2, :]
+                                    for p, n in enumerate(in_names)})
+                        # Row below: only its LAST z cell borders our first.
+                        accumulate({n: scratch[p][g, kb:kb + 1,
+                                                  128 - cap:128]
+                                    for p, n in enumerate(in_names)})
+                        # Row above: only its FIRST z cell borders our last.
+                        accumulate({n: scratch[p][g, kb + 2:kb + 3, 0:cap]
+                                    for p, n in enumerate(in_names)})
+
+                    own_m = own["mask"]
+                    for o in range(n_out):
+                        accs[o][0, kb + 1:kb + 2, :] = _col(outs[o] * own_m)
+
+            for o in range(n_out):
                 d = pltpu.make_async_copy(
-                    ref.at[pl.ds(r + dr - 1, 3), pl.ds(0, sub), pl.ds(0, 128)],
-                    scr.at[pl.ds(g * 3, 3), pl.ds(0, sub), pl.ds(0, 128)],
-                    in_sems.at[p, g],
+                    accs[o].at[pl.ds(0, 1), pl.ds(0, sub), pl.ds(0, 128)],
+                    out_refs[o].at[pl.ds(r, 1), pl.ds(0, sub), pl.ds(0, 128)],
+                    out_sems.at[o],
                 )
                 d.start()
-                dmas.append(d)
-        for d in dmas:
-            d.wait()
-
-        # Static z sweep: nblk is small, so unroll with static sublane
-        # indices (dynamic sublane addressing inside fori_loop faulted on
-        # hardware in round 1 and is not worth re-litigating).
-        for kb in range(nblk):
-            own = {n: _col(scratch[p][4, kb + 1:kb + 2, :])
-                   for p, n in enumerate(in_names)}
-            outs = [jnp.zeros((128, 1), jnp.float32) for _ in range(n_out)]
-
-            def accumulate(cand):
-                contrib = pair_fn(own, cand)
-                for o in range(n_out):
-                    outs[o] = outs[o] + jnp.sum(contrib[o], axis=1,
-                                                keepdims=True)
-
-            for g in range(9):
-                # Center row: all 128 lanes (z cells at the same sublane row).
-                accumulate({n: scratch[p][g, kb + 1:kb + 2, :]
-                            for p, n in enumerate(in_names)})
-                # Row below: only its LAST z cell borders our first cell.
-                accumulate({n: scratch[p][g, kb:kb + 1, 128 - cap:128]
-                            for p, n in enumerate(in_names)})
-                # Row above: only its FIRST z cell borders our last cell.
-                accumulate({n: scratch[p][g, kb + 2:kb + 3, 0:cap]
-                            for p, n in enumerate(in_names)})
-
-            own_m = own["mask"]
-            for o in range(n_out):
-                accs[o][0, kb + 1:kb + 2, :] = _col(outs[o] * own_m)
-
-        for o in range(n_out):
-            d = pltpu.make_async_copy(
-                accs[o].at[pl.ds(0, 1), pl.ds(0, sub), pl.ds(0, 128)],
-                out_refs[o].at[pl.ds(r, 1), pl.ds(0, sub), pl.ds(0, 128)],
-                out_sems.at[o],
-            )
-            d.start()
-            d.wait()
+                d.wait()
 
     shape = jax.ShapeDtypeStruct(spec.plane_shape, jnp.float32)
     return pl.pallas_call(

@@ -7,12 +7,19 @@ mask — XLA needs static shapes), and per step:
 
   1. packs the particles within one kernel radius of each slab face into
      fixed-size halo buffers and ppermutes them to the adjacent devices
-     (ghost particles ride the ICI torus, not an all-gather);
+     (ghost particles ride the ICI torus, not an all-gather); the pack
+     orders are frozen per frame so follow-up channel exchanges (owner-
+     computed rho/pressure, PCISPH predicted positions) address the same
+     ghosts — symmetric forces are EXACT across slab faces;
   2. computes forces against local + halo sources with the shared field
-     operators;
+     operators over the sorted cell grid (neighbors/cellgrid.py);
   3. integrates locally, then migrates particles whose x crossed a slab
      boundary to the neighbor via a second (fixed-size) ppermute, compacting
      free slots.
+
+Both WCSPH (`make_halo_step`) and PCISPH (`make_halo_pcisph_step`) are
+provided; the PCISPH iteration exit uses the pmax'd global density-error max
+(the distributed twin of ref: solver/pcisph/pcisph_darwin.go:88-90).
 
 Communication is O(surface) per step instead of the all-gather's O(N) — the
 difference between DP-over-particles (parallel/spmd.py) and true spatial
@@ -39,7 +46,7 @@ from jax.sharding import PartitionSpec as P
 from dieselfluid_tpu.config import FluidParams
 from dieselfluid_tpu.models import field as F
 from dieselfluid_tpu.models.particles import FluidState
-from dieselfluid_tpu.neighbors.bruteforce import brute_force_neighborhood
+from dieselfluid_tpu.neighbors.cellgrid import CellGridSpec, cell_grid_neighborhood
 from dieselfluid_tpu.ops.smoothing import tait_eos
 from dieselfluid_tpu.solvers.integrate import box_collide, semi_implicit_euler
 
@@ -134,43 +141,54 @@ def collect(slabs: SlabState):
 # ---------------------------------------------------------------------------
 
 
-def _exchange_halos(pos, vel, alive, spec: SlabSpec, axis=AXIS):
-    """Pack boundary particles and ppermute to neighbors.
+def _face_packs(pos, alive, spec: SlabSpec, axis=AXIS):
+    """Select the particles within one kernel radius of each slab face.
 
-    Returns (halo_pos (2Hc, 3), halo_vel, halo_mask) — left+right ghosts.
-    Non-periodic: edge devices receive zeroed masks from the wrap-around
-    (their out-of-domain neighbor's send is masked off).
+    Returns ((lo_order, lo_mask), (hi_order, hi_mask)) — fixed-size row
+    indices + live masks. The orders are FROZEN for the frame so later
+    channel exchanges (rho, pressure, predicted positions) ship the same
+    particles the position exchange did.
     """
     me = jax.lax.axis_index(axis)
-    n = jax.lax.axis_size(axis)
     slab_lo = spec.lo + spec.slab_width * me
     slab_hi = slab_lo + spec.slab_width
-
-    near_lo = (alive > 0) & (pos[:, 0] < slab_lo + spec.h)
-    near_hi = (alive > 0) & (pos[:, 0] >= slab_hi - spec.h)
-
+    near_lo = ((alive > 0) & (pos[:, 0] < slab_lo + spec.h)).astype(jnp.float32)
+    near_hi = ((alive > 0) & (pos[:, 0] >= slab_hi - spec.h)).astype(jnp.float32)
     hc = spec.halo_capacity
-    lo_pos, lo_vel, lo_mask = _pack_first(near_lo.astype(jnp.float32), hc, pos, vel)
-    hi_pos, hi_vel, hi_mask = _pack_first(near_hi.astype(jnp.float32), hc, pos, vel)
+    lo_order = jnp.argsort(1.0 - near_lo, stable=True)[:hc]
+    hi_order = jnp.argsort(1.0 - near_hi, stable=True)[:hc]
+    return (lo_order, near_lo[lo_order]), (hi_order, near_hi[hi_order])
 
-    # Send my low-face particles to the left neighbor (they become its right
-    # halo) and my high-face ones to the right neighbor.
+
+def _ghost_mask(packs, axis=AXIS):
+    """ppermute the pack masks; zero the non-periodic wrap-around."""
+    (lo_ord, lo_m), (hi_ord, hi_m) = packs
+    me = jax.lax.axis_index(axis)
+    n = jax.lax.axis_size(axis)
+    right_perm = [(i, (i + 1) % n) for i in range(n)]
+    left_perm = [(i, (i - 1) % n) for i in range(n)]
+    fl = jnp.where(me == 0, 0.0, jax.lax.ppermute(hi_m, axis, right_perm))
+    fr = jnp.where(me == n - 1, 0.0, jax.lax.ppermute(lo_m, axis, left_perm))
+    return jnp.concatenate([fl, fr], axis=0)
+
+
+def _exchange(packs, arrays, axis=AXIS):
+    """ppermute per-face packed channels to both neighbors.
+
+    Each output is (2*halo_capacity, ...): ghosts from the left neighbor
+    (its high face) then from the right (its low face). Use `_ghost_mask`
+    for the validity of those slots (edge devices see zeroed wrap-around).
+    """
+    (lo_ord, _), (hi_ord, _) = packs
+    n = jax.lax.axis_size(axis)
     right_perm = [(i, (i + 1) % n) for i in range(n)]   # data flows to rank+1
     left_perm = [(i, (i - 1) % n) for i in range(n)]
-
-    from_left = [jax.lax.ppermute(x, axis, right_perm) for x in (hi_pos, hi_vel, hi_mask)]
-    from_right = [jax.lax.ppermute(x, axis, left_perm) for x in (lo_pos, lo_vel, lo_mask)]
-
-    # Mask the non-periodic wrap: device 0's "from_left" came from device n-1.
-    is_first = (me == 0)
-    is_last = (me == n - 1)
-    fl_mask = jnp.where(is_first, 0.0, from_left[2])
-    fr_mask = jnp.where(is_last, 0.0, from_right[2])
-
-    halo_pos = jnp.concatenate([from_left[0], from_right[0]], axis=0)
-    halo_vel = jnp.concatenate([from_left[1], from_right[1]], axis=0)
-    halo_mask = jnp.concatenate([fl_mask, fr_mask], axis=0)
-    return halo_pos, halo_vel, halo_mask
+    outs = []
+    for a in arrays:
+        from_left = jax.lax.ppermute(a[hi_ord], axis, right_perm)
+        from_right = jax.lax.ppermute(a[lo_ord], axis, left_perm)
+        outs.append(jnp.concatenate([from_left, from_right], axis=0))
+    return outs
 
 
 def _migrate(pos, vel, alive, dropped, spec: SlabSpec, axis=AXIS):
@@ -221,53 +239,59 @@ def _migrate(pos, vel, alive, dropped, spec: SlabSpec, axis=AXIS):
     return new_pos, new_vel, new_alive, dropped + lost
 
 
-def make_halo_step(mesh, spec: SlabSpec, params: FluidParams, k: int = 64):
-    """Build the jitted shard_map'ed WCSPH step over slab-decomposed state."""
+def _make_cell_spec(spec: SlabSpec, cell_capacity: int) -> CellGridSpec:
+    """Global-domain cell grid shared by every slab (SPMD-uniform), extended
+    by two sacrificial cells above `hi` so parked dead source slots bin into
+    cells no query stencil ever probes."""
+    # Quarter-cell lo offset: lattice-aligned particle planes sit mid-cell,
+    # so float rounding at boundaries cannot concentrate whole planes into
+    # one cell (the same trick bench.py uses for the dense layout).
+    return CellGridSpec(
+        lo=(spec.lo - 0.25 * spec.h,) * 3,
+        hi=(spec.hi + 2.0 * spec.h,) * 3,
+        cell=spec.h,
+        capacity=cell_capacity,
+    )
 
-    def local_step(pos, vel, alive, dropped):
-        halo_pos, halo_vel, halo_mask = _exchange_halos(pos, vel, alive, spec)
 
-        src_pos = jnp.concatenate([pos, halo_pos], axis=0)
-        src_vel = jnp.concatenate([vel, halo_vel], axis=0)
-        src_live = jnp.concatenate([alive, halo_mask], axis=0)
-        # Park dead source slots far outside the domain so they can't be
-        # within the kernel radius of anything.
-        parked = jnp.where(src_live[:, None] > 0, src_pos, 1e6)
-        qpos = jnp.where(alive[:, None] > 0, pos, -1e6)
+def _local_sources(pos, vel, alive, spec: SlabSpec, packs, k: int,
+                   cg: CellGridSpec):
+    """Ghost exchange + cell-grid neighborhood for one slab.
 
-        nb = brute_force_neighborhood(qpos, parked, params.h, k, self_offset=0)
-        rho = F.density_with_self(qpos, nb, params, source_pos=parked)
-        pressure = tait_eos(rho, params.d0, params.p0, params.tait_gamma, params.tait_w)
-        src_rho = jnp.concatenate([rho, jnp.full((halo_pos.shape[0],), params.d0)], axis=0)
-        # Halo pressure: recompute from halo densities is a second exchange;
-        # round-1 approximation uses rest density for ghosts' own rho/p terms
-        # — asymmetric only within the halo band. TODO(r2): exchange rho.
-        src_p = jnp.concatenate([pressure, jnp.zeros((halo_pos.shape[0],))], axis=0)
+    Returns (nb, qpos, parked, src_vel, halo_mask) where sources are
+    [local | ghosts], dead slots parked into the sacrificial cell layer.
+    """
+    halo_pos, halo_vel = _exchange(packs, (pos, vel))
+    halo_mask = _ghost_mask(packs)
+    src_live = jnp.concatenate([alive, halo_mask], axis=0)
+    src_pos = jnp.concatenate([pos, halo_pos], axis=0)
+    src_vel = jnp.concatenate([vel, halo_vel], axis=0)
+    park = spec.hi + 3.0 * spec.h          # clips into the sacrificial layer
+    parked = jnp.where(src_live[:, None] > 0, src_pos, park)
+    qpos = jnp.where(alive[:, None] > 0, pos, spec.lo - 1e3)
+    nb = cell_grid_neighborhood(qpos, parked, spec.h, k, cg, self_offset=0)
+    return nb, qpos, parked, src_vel, halo_mask
 
-        visc = params.mu * F.laplacian_force(
-            qpos, vel, rho, nb, params,
-            source_pos=parked, source_vel=src_vel, source_rho=src_rho)
-        f_p = F.pressure_force(
-            qpos, rho, pressure, nb, params,
-            source_pos=parked, source_rho=src_rho, source_pressure=src_p)
-        gravity = jnp.asarray(params.gravity, jnp.float32) * params.mass
-        force = gravity + f_p + visc
 
-        state = FluidState(pos=pos, vel=vel, force=force,
-                           density=rho, pressure=pressure)
-        state, diag = semi_implicit_euler(state, params)
-        state = box_collide(state, (spec.lo,) * 3, (spec.hi,) * 3)
-        # Freeze dead slots
-        new_pos = jnp.where(alive[:, None] > 0, state.pos, pos)
-        new_vel = jnp.where(alive[:, None] > 0, state.vel, vel)
+def _finish_step(pos, vel, alive, dropped, force, rho, pressure,
+                 spec: SlabSpec, params: FluidParams):
+    """Integrate, collide, freeze dead slots, migrate, reduce diagnostics."""
+    state = FluidState(pos=pos, vel=vel, force=force,
+                       density=rho, pressure=pressure)
+    state, diag = semi_implicit_euler(state, params)
+    state = box_collide(state, (spec.lo,) * 3, (spec.hi,) * 3)
+    new_pos = jnp.where(alive[:, None] > 0, state.pos, pos)
+    new_vel = jnp.where(alive[:, None] > 0, state.vel, vel)
 
-        new_pos, new_vel, new_alive, new_dropped = _migrate(
-            new_pos, new_vel, alive, dropped, spec)
-        max_vel = jax.lax.pmax(jax.lax.stop_gradient(diag.max_vel), AXIS)
-        new_dropped = jax.lax.psum(new_dropped, AXIS)
-        n_live = jax.lax.psum(jnp.sum(new_alive), AXIS)
-        return new_pos, new_vel, new_alive, new_dropped / spec.n_dev, (max_vel, n_live)
+    new_pos, new_vel, new_alive, new_dropped = _migrate(
+        new_pos, new_vel, alive, dropped, spec)
+    max_vel = jax.lax.pmax(jax.lax.stop_gradient(diag.max_vel), AXIS)
+    new_dropped = jax.lax.psum(new_dropped, AXIS)
+    n_live = jax.lax.psum(jnp.sum(new_alive), AXIS)
+    return new_pos, new_vel, new_alive, new_dropped / spec.n_dev, (max_vel, n_live)
 
+
+def _wrap_step(local_step, mesh, spec: SlabSpec):
     sm = jax.shard_map(
         local_step,
         mesh=mesh,
@@ -284,3 +308,123 @@ def make_halo_step(mesh, spec: SlabSpec, params: FluidParams, k: int = 64):
                          dropped=jnp.sum(dropped)), max_vel, n_live
 
     return step
+
+
+def make_halo_step(mesh, spec: SlabSpec, params: FluidParams, k: int = 64,
+                   cell_capacity: int = 32):
+    """Jitted shard_map'ed WCSPH step over slab-decomposed state.
+
+    Ghost particles carry their owner-computed rho and pressure (a second
+    1-hop ppermute round), so the symmetric pressure force is exact across
+    slab faces and momentum is conserved globally — the round-1 rest-density
+    approximation is gone. Within-slab search is the sorted cell grid, not
+    brute force.
+    """
+    cg = _make_cell_spec(spec, cell_capacity)
+
+    def local_step(pos, vel, alive, dropped):
+        packs = _face_packs(pos, alive, spec)
+        nb, qpos, parked, src_vel, halo_mask = _local_sources(
+            pos, vel, alive, spec, packs, k, cg)
+
+        rho = F.density_with_self(qpos, nb, params, source_pos=parked)
+        pressure = tait_eos(rho, params.d0, params.p0,
+                            params.tait_gamma, params.tait_w)
+        # Ghosts' own rho/p from their owner — exact symmetric forces.
+        halo_rho, halo_p = _exchange(packs, (rho, pressure))
+        src_rho = jnp.concatenate(
+            [rho, jnp.where(halo_mask > 0, halo_rho, params.d0)], axis=0)
+        src_p = jnp.concatenate(
+            [pressure, jnp.where(halo_mask > 0, halo_p, 0.0)], axis=0)
+
+        visc = params.mu * F.laplacian_force(
+            qpos, vel, rho, nb, params,
+            source_pos=parked, source_vel=src_vel, source_rho=src_rho)
+        f_p = F.pressure_force(
+            qpos, rho, pressure, nb, params,
+            source_pos=parked, source_rho=src_rho, source_pressure=src_p)
+        gravity = jnp.asarray(params.gravity, jnp.float32) * params.mass
+        force = gravity + f_p + visc
+        return _finish_step(pos, vel, alive, dropped, force, rho, pressure,
+                            spec, params)
+
+    return _wrap_step(local_step, mesh, spec)
+
+
+def make_halo_pcisph_step(mesh, spec: SlabSpec, params: FluidParams,
+                          delta: float, k: int = 64, cell_capacity: int = 32):
+    """Distributed PCISPH over slab decomposition.
+
+    The reference's flagship solver (ref: solver/pcisph/pcisph_darwin.go),
+    now multi-chip: per correction iteration the predicted positions and the
+    accumulated pressures of face particles ride one ppermute each, and the
+    iteration-exit density-error max is the GLOBAL pmax — the distributed
+    twin of the reference's sequential global max (pcisph_darwin.go:88-90).
+    Neighbor candidates and face membership are frozen for the frame, exactly
+    like the reference's per-frame LSH table.
+    """
+    from dieselfluid_tpu.solvers.pcisph import _Carry
+
+    cg = _make_cell_spec(spec, cell_capacity)
+
+    def local_step(pos, vel, alive, dropped):
+        packs = _face_packs(pos, alive, spec)
+        nb, qpos, parked, src_vel, halo_mask = _local_sources(
+            pos, vel, alive, spec, packs, k, cg)
+        src_live_col = jnp.concatenate([alive, halo_mask], axis=0)[:, None]
+        park = spec.hi + 3.0 * spec.h
+
+        rho = F.density_with_self(qpos, nb, params, source_pos=parked)
+        (halo_rho,) = _exchange(packs, (rho,))
+        src_rho = jnp.concatenate(
+            [rho, jnp.where(halo_mask > 0, halo_rho, params.d0)], axis=0)
+        visc = params.mu * F.laplacian_force(
+            qpos, vel, rho, nb, params,
+            source_pos=parked, source_vel=src_vel, source_rho=src_rho)
+        gravity = jnp.asarray(params.gravity, jnp.float32) * params.mass
+        ext_force = gravity + visc
+
+        def vary(x):
+            return jax.lax.pvary(x, AXIS) if AXIS not in getattr(
+                jax.typeof(x), "vma", (AXIS,)) else x
+
+        def body(c: _Carry) -> _Carry:
+            accel = (ext_force + c.f_p) / params.mass
+            vel_star = vel + accel * params.dt
+            pos_star = pos + vel_star * params.dt
+            (halo_pos_star,) = _exchange(packs, (pos_star,))
+            parked_star = jnp.where(
+                src_live_col > 0,
+                jnp.concatenate([pos_star, halo_pos_star], axis=0), park)
+            qpos_star = jnp.where(alive[:, None] > 0, pos_star,
+                                  spec.lo - 1e3)
+            rho_star = F.density_with_self(qpos_star, nb, params,
+                                           source_pos=parked_star)
+            err = (rho_star - params.d0) * alive
+            pressure = jnp.maximum(c.pressure + delta * err, 0.0)
+            rho_ff = jnp.maximum(rho_star, 0.5 * params.d0)
+            halo_p, halo_rff = _exchange(packs, (pressure, rho_ff))
+            src_p = jnp.concatenate(
+                [pressure, jnp.where(halo_mask > 0, halo_p, 0.0)], axis=0)
+            src_rff = jnp.concatenate(
+                [rho_ff, jnp.where(halo_mask > 0, halo_rff, params.d0)],
+                axis=0)
+            f_p = F.pressure_force(
+                qpos, rho_ff, pressure, nb, params,
+                source_pos=parked, source_rho=src_rff, source_pressure=src_p)
+            # GLOBAL density-error max: every slab exits together.
+            max_ratio = jax.lax.pmax(jnp.max(err) / params.d0, AXIS)
+            return _Carry(c.it + 1, max_ratio, pressure, f_p)
+
+        init = _Carry(it=jnp.int32(0), err=jnp.float32(jnp.inf),
+                      pressure=vary(jnp.zeros_like(alive)),
+                      f_p=vary(jnp.zeros_like(pos)))
+        cond = lambda c: (c.it < params.pci_max_iters) & (
+            c.err > params.pci_max_density_error_ratio)
+        carry = jax.lax.while_loop(cond, body, init)
+
+        force = ext_force + carry.f_p
+        return _finish_step(pos, vel, alive, dropped, force, rho,
+                            carry.pressure, spec, params)
+
+    return _wrap_step(local_step, mesh, spec)

@@ -72,11 +72,13 @@ def dense_wcsph_step(
     spec: DenseCellSpec,
     bounds: Optional[Tuple] = ((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0)),
 ) -> Tuple[FluidState, StepDiagnostics]:
-    """One WCSPH frame on the Pallas pipeline."""
-    rho, pressure, f, _ = dense_density_forces(state, params, spec)
+    """One WCSPH frame on the Pallas pipeline. diag.overflow reports dropped
+    particles (cell-capacity) — nonzero means resize the spec's capacity."""
+    rho, pressure, f, overflow = dense_density_forces(state, params, spec)
     gravity = jnp.asarray(params.gravity, jnp.float32) * params.mass
     state = state._replace(density=rho, pressure=pressure, force=gravity + f)
     state, diag = semi_implicit_euler(state, params)
+    diag = diag._replace(overflow=overflow)
     if bounds is not None:
         state = box_collide(state, *bounds)
     return state, diag
@@ -101,7 +103,7 @@ def dense_pcisph_step(
     from dieselfluid_tpu.solvers.pcisph import _Carry
 
     k = KernelCoeffs.build(params.h)
-    flat, valid, _ = dense_indices(state.pos, spec)
+    flat, valid, overflow = dense_indices(state.pos, spec)
 
     def planes_at(pos, vel):
         return build_planes(
@@ -157,6 +159,7 @@ def dense_pcisph_step(
     state = state._replace(density=rho, pressure=carry.pressure,
                            force=ext_force + carry.f_p)
     state, diag = semi_implicit_euler(state, params)
+    diag = diag._replace(overflow=overflow)
     if bounds is not None:
         state = box_collide(state, *bounds)
     return state, diag

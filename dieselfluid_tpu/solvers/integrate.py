@@ -15,10 +15,14 @@ class StepDiagnostics(NamedTuple):
 
     The reference tracks these as mutable maxima across all history
     (ref: model/sph/fluid.go:184-191); we report per-step values.
+    `overflow` counts particles dropped from the neighbor structure this step
+    (dense-cell capacity or cell-grid candidate overflow) — nonzero means the
+    step silently under-resolved interactions; callers should resize capacity.
     """
 
     max_vel: jnp.ndarray
     max_force: jnp.ndarray
+    overflow: jnp.ndarray = 0  # jnp.int32 scalar when set by a solver
 
 
 def semi_implicit_euler(

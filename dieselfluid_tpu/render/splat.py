@@ -49,7 +49,7 @@ def _project(cam: Camera, pos: jnp.ndarray, width: int, height: int):
     return u, vpix, depth, fy
 
 
-@partial(jax.jit, static_argnames=("width", "height", "patch"))
+@partial(jax.jit, static_argnames=("width", "height", "patch", "full_height"))
 def splat_particles(
     pos: jnp.ndarray,                    # (N, 3) world positions
     radius: jnp.ndarray,                 # scalar or (N,) world-space radii
@@ -61,15 +61,24 @@ def splat_particles(
     patch: int = 9,
     sharpness: float = 12.0,
     depth_falloff: float = 2.0,
+    full_height: Optional[int] = None,
+    y_offset=0,
 ) -> SplatImage:
     """Rasterize particles as soft spheres. Fully differentiable.
 
     background matches the reference fragment shader's black_col outside the
     sprite disc (frag:12).
+
+    Tile mode (parallel/render_shard.py): `height` is the local tile height,
+    `full_height` the whole image's, and `y_offset` (traced — typically
+    axis_index * height) the tile's first row. Projection geometry uses the
+    full image; the scatter lands only in the local tile.
     """
     n = pos.shape[0]
     radius = jnp.broadcast_to(jnp.asarray(radius, jnp.float32), (n,))
-    u, v, depth, focal = _project(cam, pos, width, height)
+    u, v, depth, focal = _project(cam, pos, width,
+                                  full_height if full_height else height)
+    v = v - y_offset
     in_front = depth > 1e-3
     pix_r = radius * focal / jnp.maximum(depth, 1e-3)
     pix_r = jnp.clip(pix_r, 0.75, patch / 2.0)

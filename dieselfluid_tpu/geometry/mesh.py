@@ -104,6 +104,17 @@ class Mesh:
         return hit, n, depth
 
 
+# Pytree registration: solver steps take a Mesh as a traced argument (the
+# triangle arrays live on device; nothing here is shape-dynamic).
+import jax.tree_util as _jtu
+
+_jtu.register_pytree_node(
+    Mesh,
+    lambda m: ((m.tris, m.normals), None),
+    lambda _, ch: Mesh(tris=ch[0], normals=ch[1]),
+)
+
+
 def mesh_collide(state, mesh: Mesh, dt: float, radius: float,
                  restitution: float = 0.3, friction: float = 0.1):
     """Collision response against a mesh container/obstacle: push out along the

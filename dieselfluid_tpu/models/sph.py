@@ -40,8 +40,16 @@ class Simulation:
 
     @staticmethod
     def create(config: SimConfig, extent: float = 0.5,
-               scene: str = "dam_break") -> "Simulation":
-        """Build params/state/step from config (ref: sph.Init analog)."""
+               scene: str = "dam_break", collider=None,
+               boundary_density: float = 1.0) -> "Simulation":
+        """Build params/state/step from config (ref: sph.Init analog).
+
+        `collider` (geometry.mesh.Mesh) mirrors sph.Init's colliders argument
+        (ref: model/sph/fluid.go:41) — but actually wired: its boundary
+        particles enter the solve as frozen fluid sources and its triangles
+        run narrow-phase collision response each frame (the reference
+        comments this out at fluid.go:70).
+        """
         n3 = config.n3
         dx = (2.0 / n3) * extent
         params = FluidParams.for_spacing(dx)
@@ -50,6 +58,10 @@ class Simulation:
         else:
             state = init_lattice_state(n3, params)
         params = calibrate_rest_density(state.pos, params)
+        if collider is not None:
+            state = state._replace(
+                boundary_pos=collider.generate_boundary_particles(
+                    boundary_density))
 
         delta = 0.0
         if config.solver == "pcisph":
@@ -64,9 +76,11 @@ class Simulation:
             dspec = DenseCellSpec.for_domain((-1, -1, -1), (1, 1, 1), params.h,
                                              capacity=config.cell_capacity)
             if config.solver == "pcisph":
-                step_fn = lambda s: dense_pcisph_step(s, params, dspec, delta)
+                step_fn = lambda s: dense_pcisph_step(s, params, dspec, delta,
+                                                      collider=collider)
             else:
-                step_fn = lambda s: dense_wcsph_step(s, params, dspec)
+                step_fn = lambda s: dense_wcsph_step(s, params, dspec,
+                                                     collider=collider)
         else:
             if config.neighbors == "cellgrid":
                 spec = CellGridSpec.for_domain((-1, -1, -1), (1, 1, 1), params.h,
@@ -77,9 +91,11 @@ class Simulation:
                 nfn = lambda pos: brute_force_neighborhood(
                     pos, pos, params.h, config.max_neighbors)
             if config.solver == "pcisph":
-                step_fn = lambda s: pcisph_step(s, params, delta, neighbor_fn=nfn)
+                step_fn = lambda s: pcisph_step(s, params, delta, neighbor_fn=nfn,
+                                                collider=collider)
             else:
-                step_fn = lambda s: wcsph_step(s, params, neighbor_fn=nfn)
+                step_fn = lambda s: wcsph_step(s, params, neighbor_fn=nfn,
+                                               collider=collider)
 
         return Simulation(config=config, params=params, state=state,
                           step_fn=step_fn, delta=delta, dx=dx)

@@ -24,20 +24,35 @@ from dieselfluid_tpu.ops.smoothing import KernelCoeffs, tait_eos
 from dieselfluid_tpu.solvers.integrate import StepDiagnostics, box_collide, semi_implicit_euler
 
 
+def _boundary_extended(state: FluidState):
+    """(pos, vel) with boundary particles appended as frozen fluid sources
+    (see solvers.wcsph.extend_with_boundary for the semantics + ref cites)."""
+    if state.boundary_pos is None:
+        return state.pos, state.vel
+    b = state.boundary_pos
+    pos = jnp.concatenate([state.pos, b], axis=0)
+    vel = jnp.concatenate([state.vel, jnp.zeros_like(b)], axis=0)
+    return pos, vel
+
+
 def dense_density_forces(state: FluidState, params: FluidParams,
                          spec: DenseCellSpec):
-    """(rho, pressure, force, overflow) for the current positions.
+    """(rho, pressure, force, overflow) for the current positions, fluid
+    particles only ([:n]); boundary particles (state.boundary_pos) join the
+    dense planes as frozen fluid sources.
 
     Note: the Pallas kernels bake mass/mu/h as compile-time constants, so
     traced Materials overrides are not supported on this path — use the XLA
     gather path (solvers.wcsph) when differentiating material parameters.
     """
     d0, gamma, w = params.d0, params.tait_gamma, params.tait_w
+    n = state.pos.shape[0]
+    pos, vel = _boundary_extended(state)
 
-    flat, valid, overflow = dense_indices(state.pos, spec)
+    flat, valid, overflow = dense_indices(pos, spec)
     planes = build_planes(
-        {"x": state.pos[:, 0], "y": state.pos[:, 1], "z": state.pos[:, 2],
-         "vx": state.vel[:, 0], "vy": state.vel[:, 1], "vz": state.vel[:, 2]},
+        {"x": pos[:, 0], "y": pos[:, 1], "z": pos[:, 2],
+         "vx": vel[:, 0], "vy": vel[:, 1], "vz": vel[:, 2]},
         flat, valid, spec,
     )
     k = KernelCoeffs.build(params.h)
@@ -50,18 +65,19 @@ def dense_density_forces(state: FluidState, params: FluidParams,
     fx_p, fy_p, fz_p = force_planes(planes, rho_plane, press_plane, spec, k,
                                     params.mass, float(params.mu))
 
-    rho = gather_plane(rho_plane, flat)
-    pressure = gather_plane(press_plane, flat)
+    flat_f, valid_f = flat[:n], valid[:n]
+    rho = gather_plane(rho_plane, flat_f)
+    pressure = gather_plane(press_plane, flat_f)
     force = jnp.stack([
-        gather_plane(fx_p, flat),
-        gather_plane(fy_p, flat),
-        gather_plane(fz_p, flat),
+        gather_plane(fx_p, flat_f),
+        gather_plane(fy_p, flat_f),
+        gather_plane(fz_p, flat_f),
     ], axis=-1)
     # Overflowed particles fall back to zero interaction (gravity only);
     # overflow is returned so callers can size capacity.
-    rho = jnp.where(valid, rho, d0)
-    pressure = jnp.where(valid, pressure, 0.0)
-    force = jnp.where(valid[:, None], force, 0.0)
+    rho = jnp.where(valid_f, rho, d0)
+    pressure = jnp.where(valid_f, pressure, 0.0)
+    force = jnp.where(valid_f[:, None], force, 0.0)
     return rho, pressure, force, overflow
 
 
@@ -71,6 +87,7 @@ def dense_wcsph_step(
     params: FluidParams,
     spec: DenseCellSpec,
     bounds: Optional[Tuple] = ((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0)),
+    collider=None,
 ) -> Tuple[FluidState, StepDiagnostics]:
     """One WCSPH frame on the Pallas pipeline. diag.overflow reports dropped
     particles (cell-capacity) — nonzero means resize the spec's capacity."""
@@ -81,6 +98,10 @@ def dense_wcsph_step(
     diag = diag._replace(overflow=overflow)
     if bounds is not None:
         state = box_collide(state, *bounds)
+    if collider is not None:
+        from dieselfluid_tpu.geometry.mesh import mesh_collide
+
+        state = mesh_collide(state, collider, params.dt, 0.5 * params.h)
     return state, diag
 
 
@@ -91,6 +112,7 @@ def dense_pcisph_step(
     spec: DenseCellSpec,
     delta: float,
     bounds: Optional[Tuple] = ((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0)),
+    collider=None,
 ) -> Tuple[FluidState, StepDiagnostics]:
     """One PCISPH frame on the Pallas pipeline.
 
@@ -103,7 +125,10 @@ def dense_pcisph_step(
     from dieselfluid_tpu.solvers.pcisph import _Carry
 
     k = KernelCoeffs.build(params.h)
-    flat, valid, overflow = dense_indices(state.pos, spec)
+    n = state.pos.shape[0]
+    pos0, vel0 = _boundary_extended(state)
+    flat, valid, overflow = dense_indices(pos0, spec)
+    flat_f, valid_f = flat[:n], valid[:n]
 
     def planes_at(pos, vel):
         return build_planes(
@@ -112,40 +137,54 @@ def dense_pcisph_step(
             flat, valid, spec,
         )
 
-    planes = planes_at(state.pos, state.vel)
+    planes = planes_at(pos0, vel0)
     rho_plane = density_planes(planes, spec, k, params.mass)
-    rho = gather_plane(rho_plane, flat)
+    rho = gather_plane(rho_plane, flat_f)
     # External forces: gravity + viscosity at the unpredicted state (zero
     # pressure plane -> force kernel yields viscosity only).
     zero_press = jnp.zeros(spec.plane_shape, jnp.float32)
     vx_p, vy_p, vz_p = force_planes(planes, rho_plane, zero_press, spec, k,
                                     params.mass, float(params.mu))
-    visc = jnp.stack([gather_plane(vx_p, flat), gather_plane(vy_p, flat),
-                      gather_plane(vz_p, flat)], axis=-1)
+    visc = jnp.stack([gather_plane(vx_p, flat_f), gather_plane(vy_p, flat_f),
+                      gather_plane(vz_p, flat_f)], axis=-1)
     gravity = jnp.asarray(params.gravity, jnp.float32) * params.mass
     ext_force = gravity + visc
 
+    def scatter(values_f, boundary_value=0.0):
+        """Per-fluid values -> plane; boundary slots get boundary_value."""
+        out = jnp.zeros(spec.rows * spec.row_len, jnp.float32).at[
+            jnp.where(valid_f, flat_f, 0)
+        ].add(jnp.where(valid_f, values_f, 0.0))
+        if state.boundary_pos is not None and boundary_value != 0.0:
+            flat_b, valid_b = flat[n:], valid[n:]
+            out = out.at[jnp.where(valid_b, flat_b, 0)].add(
+                jnp.where(valid_b, boundary_value, 0.0))
+        return out.reshape(spec.plane_shape)
 
     def body(c):
         accel = (ext_force + c.f_p) / params.mass
         vel_star = state.vel + accel * params.dt
         pos_star = state.pos + vel_star * params.dt
-        p_star = planes_at(pos_star, vel_star)
+        if state.boundary_pos is not None:
+            pos_ext = jnp.concatenate([pos_star, state.boundary_pos], axis=0)
+            vel_ext = jnp.concatenate(
+                [vel_star, jnp.zeros_like(state.boundary_pos)], axis=0)
+        else:
+            pos_ext, vel_ext = pos_star, vel_star
+        p_star = planes_at(pos_ext, vel_ext)
         rho_star_plane = density_planes(p_star, spec, k, params.mass)
-        rho_star = gather_plane(rho_star_plane, flat)
+        rho_star = gather_plane(rho_star_plane, flat_f)
         err = rho_star - params.d0
         pressure = jnp.maximum(c.pressure + delta * err, 0.0)
-        press_plane = jnp.zeros(spec.plane_shape, jnp.float32).reshape(-1).at[
-            jnp.where(valid, flat, 0)
-        ].add(jnp.where(valid, pressure, 0.0)).reshape(spec.plane_shape)
+        # Boundary slots: zero pressure (they only receive the p_i-side of
+        # the symmetric term), rest density for the rho_j divisor.
+        press_plane = scatter(pressure)
         rho_for_force = jnp.maximum(rho_star, 0.5 * params.d0)
-        rff_plane = jnp.zeros(spec.plane_shape, jnp.float32).reshape(-1).at[
-            jnp.where(valid, flat, 0)
-        ].add(jnp.where(valid, rho_for_force, 0.0)).reshape(spec.plane_shape)
+        rff_plane = scatter(rho_for_force, boundary_value=params.d0)
         fx_p, fy_p, fz_p = force_planes(planes, rff_plane, press_plane, spec, k,
                                         params.mass, 0.0)
-        f_p = jnp.stack([gather_plane(fx_p, flat), gather_plane(fy_p, flat),
-                         gather_plane(fz_p, flat)], axis=-1)
+        f_p = jnp.stack([gather_plane(fx_p, flat_f), gather_plane(fy_p, flat_f),
+                         gather_plane(fz_p, flat_f)], axis=-1)
         max_ratio = jnp.max(err) / params.d0
         return _Carry(c.it + 1, max_ratio, pressure, f_p)
 
@@ -162,4 +201,8 @@ def dense_pcisph_step(
     diag = diag._replace(overflow=overflow)
     if bounds is not None:
         state = box_collide(state, *bounds)
+    if collider is not None:
+        from dieselfluid_tpu.geometry.mesh import mesh_collide
+
+        state = mesh_collide(state, collider, params.dt, 0.5 * params.h)
     return state, diag

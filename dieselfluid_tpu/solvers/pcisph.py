@@ -87,10 +87,14 @@ class _Carry(NamedTuple):
     f_p: jnp.ndarray
 
 
-def _pressure_iteration(state, nb, params, delta, ext_force, carry: _Carry):
-    """One predict-correct iteration (physical form)."""
+def _pressure_iteration(state, nb, params, delta, ext_force, carry: _Carry,
+                        frozen=None):
+    """One predict-correct iteration (physical form). `frozen` (bool mask)
+    pins boundary particles: they never move in the prediction."""
     accel = (ext_force + carry.f_p) / params.mass
     vel_star = state.vel + accel * params.dt
+    if frozen is not None:
+        vel_star = jnp.where(frozen[:, None], 0.0, vel_star)
     pos_star = state.pos + vel_star * params.dt
     # Predicted density with the same neighbor *indices* (the reference keeps
     # its LSH table frozen within a frame too) but distances at predicted pos;
@@ -110,6 +114,7 @@ def pcisph_step_core(
     params: FluidParams,
     delta: float,
     unroll_for_grad: bool = False,
+    frozen=None,
 ):
     """Density + viscosity + gravity, then the pressure-projection loop."""
     rho = F.density_with_self(state.pos, nb, params)
@@ -124,7 +129,8 @@ def pcisph_step_core(
         f_p=jnp.zeros_like(state.force),
     )
 
-    body = lambda c: _pressure_iteration(state, nb, params, delta, ext_force, c)
+    body = lambda c: _pressure_iteration(state, nb, params, delta, ext_force,
+                                         c, frozen)
 
     if unroll_for_grad:
         # Reverse-mode-safe: fixed pci_max_iters iterations via scan.
@@ -150,16 +156,36 @@ def pcisph_step(
     neighbor_fn: Optional[Callable] = None,
     bounds: Optional[Tuple] = ((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0)),
     unroll_for_grad: bool = False,
+    collider=None,
 ) -> Tuple[FluidState, StepDiagnostics]:
-    """One PCISPH frame (BASELINE config 2 driver)."""
-    from dieselfluid_tpu.solvers.wcsph import default_neighbor_fn
+    """One PCISPH frame (BASELINE config 2 driver). Boundary particles in
+    `state.boundary_pos` join the correction loop as frozen fluid; `collider`
+    adds mesh narrow-phase response (see wcsph_step)."""
+    from dieselfluid_tpu.solvers.wcsph import (
+        _slice_fluid,
+        default_neighbor_fn,
+        extend_with_boundary,
+    )
 
     nfn = neighbor_fn or default_neighbor_fn(params)
-    nb = nfn(state.pos)
-    state, _ = pcisph_step_core(state, nb, params, delta, unroll_for_grad)
+    if state.boundary_pos is not None:
+        n = state.pos.shape[0]
+        ext = extend_with_boundary(state)
+        frozen = jnp.arange(ext.pos.shape[0]) >= n
+        nb = nfn(ext.pos)
+        ext, _ = pcisph_step_core(ext, nb, params, delta, unroll_for_grad,
+                                  frozen=frozen)
+        state = _slice_fluid(ext, n, state)
+    else:
+        nb = nfn(state.pos)
+        state, _ = pcisph_step_core(state, nb, params, delta, unroll_for_grad)
     state, diag = semi_implicit_euler(state, params)
     if bounds is not None:
         state = box_collide(state, *bounds)
+    if collider is not None:
+        from dieselfluid_tpu.geometry.mesh import mesh_collide
+
+        state = mesh_collide(state, collider, params.dt, 0.5 * params.h)
     return state, diag
 
 

@@ -63,6 +63,33 @@ def compute_forces(
     return state._replace(density=rho, pressure=pressure, force=force)
 
 
+def extend_with_boundary(state: FluidState) -> FluidState:
+    """Append boundary particles as frozen fluid: they carry mass (density
+    sources) and exert symmetric pressure forces, with zero velocity — the
+    working version of the reference's dead plumbing (ref:
+    model/particle_array.go AddBoundaryParticles:123 appends positions that
+    the GPU sampler then feeds to every kernel, pcisph.h get_sample; the
+    CPU wiring is commented out at model/sph/fluid.go:70)."""
+    b = state.boundary_pos
+    n_b = b.shape[0]
+    z3 = jnp.zeros((n_b, 3), state.pos.dtype)
+    z1 = jnp.zeros((n_b,), state.pos.dtype)
+    return FluidState(
+        pos=jnp.concatenate([state.pos, b], axis=0),
+        vel=jnp.concatenate([state.vel, z3], axis=0),
+        force=jnp.concatenate([state.force, z3], axis=0),
+        density=jnp.concatenate([state.density, z1], axis=0),
+        pressure=jnp.concatenate([state.pressure, z1], axis=0),
+        boundary_pos=None,
+    )
+
+
+def _slice_fluid(ext: FluidState, n: int, state: FluidState) -> FluidState:
+    return state._replace(
+        density=ext.density[:n], pressure=ext.pressure[:n], force=ext.force[:n]
+    )
+
+
 @partial(jax.jit, static_argnames=("params", "neighbor_fn", "bounds"))
 def wcsph_step(
     state: FluidState,
@@ -73,14 +100,33 @@ def wcsph_step(
         (1.0, 1.0, 1.0),
     ),
     materials=None,
+    collider=None,
 ) -> Tuple[FluidState, StepDiagnostics]:
-    """One complete WCSPH frame. BASELINE config 1 driver."""
+    """One complete WCSPH frame. BASELINE config 1 driver.
+
+    With `state.boundary_pos` set, boundary particles join the source pool as
+    frozen fluid (see extend_with_boundary). `collider` (geometry.mesh.Mesh)
+    adds mesh narrow-phase collision response after integration — the wiring
+    the reference declares but never connects (ref: model/sph/fluid.go:41
+    takes []*mesh.Mesh, :70 commented out).
+    """
     nfn = neighbor_fn or default_neighbor_fn(params)
-    nb = nfn(state.pos)
-    state = compute_forces(state, nb, params, materials)
+    if state.boundary_pos is not None:
+        n = state.pos.shape[0]
+        ext = extend_with_boundary(state)
+        nb = nfn(ext.pos)
+        ext = compute_forces(ext, nb, params, materials)
+        state = _slice_fluid(ext, n, state)
+    else:
+        nb = nfn(state.pos)
+        state = compute_forces(state, nb, params, materials)
     state, diag = semi_implicit_euler(state, params)
     if bounds is not None:
         state = box_collide(state, *bounds)
+    if collider is not None:
+        from dieselfluid_tpu.geometry.mesh import mesh_collide
+
+        state = mesh_collide(state, collider, params.dt, 0.5 * params.h)
     return state, diag
 
 

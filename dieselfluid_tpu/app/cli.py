@@ -29,6 +29,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scene", choices=["dam_break", "lattice"], default="dam_break")
     p.add_argument("--out", type=str, default="out")
     p.add_argument("--render", action="store_true", help="render frames while stepping")
+    p.add_argument("--gltf", type=str, default=None,
+                   help="GLTF scene to composite the fluid into (ref: the "
+                        "rendersystem's meshes+particles frame)")
+    p.add_argument("--sky", action="store_true",
+                   help="bake an atmosphere cubemap as the environment light")
     p.add_argument("--render-every", type=int, default=5)
     p.add_argument("--size", type=int, default=384, help="render resolution")
     p.add_argument("--video", action="store_true", help="write mp4 from rendered frames")
@@ -69,6 +74,37 @@ def main(argv=None) -> int:
 
     cam = Camera.at([0.0, 0.6, -2.8], front=[0.0, -0.35, 1.0],
                     fov_deg=55.0, aspect=1.0)
+
+    render_frame = None
+    if args.render:
+        if args.gltf:
+            # Composited frame: fluid + ray-traced GLTF scene (+ sky).
+            from dieselfluid_tpu.render.composite import render_composite
+            from dieselfluid_tpu.render.scene import Scene
+
+            sc = Scene.load(args.gltf)
+            tris, norms, mats = sc.triangle_soup()
+            uvs = sc.triangle_uvs()
+            textures, base_tex, norm_tex = sc.texture_stack()
+            materials = sc.stacked_materials()
+            env = None
+            if args.sky:
+                from dieselfluid_tpu.sky.bake import bake_sky_cubemap
+
+                env = bake_sky_cubemap((0.3, 0.8, 0.5), size=48)
+
+            def render_frame(pos):
+                return render_composite(
+                    pos, sim.dx * 0.7, cam, tris, norms, mats, materials,
+                    light_pos=(2.0, 3.0, -2.0), env_cube=env,
+                    width=args.size, height=args.size,
+                    tri_uvs=uvs, textures=textures,
+                    mat_base_tex=base_tex, mat_normal_tex=norm_tex).color
+        else:
+            def render_frame(pos):
+                return splat_particles(pos, sim.dx * 0.7, cam,
+                                       args.size, args.size).color
+
     writer = AnimationWriter(args.out, name=f"{args.solver}_{args.n3}")
     ckptr = (Checkpointer(args.out + "/ckpt", interval=args.checkpoint_every)
              if args.checkpoint_every else None)
@@ -77,9 +113,7 @@ def main(argv=None) -> int:
     for frame in range(args.steps):
         diag = sim.step()
         if args.render and frame % args.render_every == 0:
-            img = splat_particles(sim.state.pos, sim.dx * 0.7, cam,
-                                  args.size, args.size)
-            writer.add_frame(sim.state.pos, image=img.color)
+            writer.add_frame(sim.state.pos, image=render_frame(sim.state.pos))
         elif args.ply or frame % args.render_every == 0:
             writer.add_frame(sim.state.pos)
         if ckptr:

@@ -126,6 +126,80 @@ class Scene:
                 jnp.asarray(np.concatenate(norms)),
                 jnp.asarray(np.concatenate(mats)))
 
+    def triangle_uvs(self):
+        """(T, 3, 2) per-corner UVs aligned with triangle_soup (zeros where a
+        mesh has no TEXCOORD_0). ref: rendersystem.go RegisterMesh reads the
+        TEXCOORD_0 accessor at :171-257."""
+        uvs = []
+        for mesh in self.meshes:
+            tri_idx = mesh.indices.reshape(-1, 3)
+            if mesh.uvs is not None:
+                uvs.append(mesh.uvs[tri_idx].astype(np.float32))
+            else:
+                uvs.append(np.zeros((len(tri_idx), 3, 2), np.float32))
+        if not uvs:
+            return jnp.zeros((0, 3, 2), jnp.float32)
+        return jnp.asarray(np.concatenate(uvs))
+
+    def texture_stack(self, res: int = 256):
+        """((K, res, res, 3) stack, (M,) base-color tex idx, (M,) normal tex
+        idx) with -1 = untextured. Images resample to a common resolution so
+        one gather serves every material (the device-array analog of the
+        reference's per-texture GL objects, ref: render/texture/texture.go
+        CommitTexLibGL:82 + rendersystem.go texture-unit binding)."""
+
+        def resize(img):
+            h, w = img.shape[:2]
+            yi = (np.linspace(0, h - 1, res)).astype(int)
+            xi = (np.linspace(0, w - 1, res)).astype(int)
+            return img[yi][:, xi]
+
+        stack, loaded = [], {}
+        for k, path in enumerate(self.texture_paths):
+            if path is None:
+                loaded[k] = -1
+                continue
+            try:
+                import imageio.v2 as imageio
+
+                img = np.asarray(imageio.imread(path), np.float32)
+                if img.max() > 1.0:
+                    img = img / 255.0
+                if img.ndim == 2:
+                    img = img[..., None].repeat(3, -1)
+                loaded[k] = len(stack)
+                stack.append(resize(img[..., :3]))
+            except (OSError, ValueError):
+                loaded[k] = -1
+
+        def tex_index(m, key):
+            if key == "baseColorTexture":
+                t = m.get("pbrMetallicRoughness", {}).get("baseColorTexture")
+            else:
+                t = m.get(key)
+            if t is None:
+                return -1
+            return loaded.get(t.get("index", -1), -1)
+
+        base_idx = np.asarray(
+            [tex_index(m, "baseColorTexture") for m in self.materials]
+            or [-1], np.int32)
+        norm_idx = np.asarray(
+            [tex_index(m, "normalTexture") for m in self.materials]
+            or [-1], np.int32)
+        if not stack:
+            tex = jnp.zeros((1, res, res, 3), jnp.float32)
+        else:
+            tex = jnp.asarray(np.stack(stack))
+        return tex, jnp.asarray(base_idx), jnp.asarray(norm_idx)
+
+    def stacked_materials(self) -> PBRMaterial:
+        """All materials as one leaves-(M, ...) PBRMaterial pytree."""
+        import jax
+
+        mats = [self.material(i) for i in range(max(len(self.materials), 1))]
+        return jax.tree.map(lambda *leaves: jnp.stack(leaves), *mats)
+
     def export(self, path: str):
         """Write the (possibly modified) document back. ref: scene.go ExportGLTF."""
         self.gltf.save(path)

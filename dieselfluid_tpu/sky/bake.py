@@ -57,7 +57,9 @@ def bake_sky_cubemap(sun_dir, size: int = 64, flux: float = 20.5) -> jnp.ndarray
     quadrants; a true per-direction cubemap is the geometrically-correct
     version for reflection lookups)."""
     dirs = cubemap_directions(size)
-    return scatter_rgb(dirs, sun_dir, flux=flux)
+    sun = jnp.asarray(sun_dir, jnp.float32)
+    sun = sun / jnp.linalg.norm(sun)
+    return scatter_rgb(dirs, sun, flux=flux)
 
 
 def _write(path: str, img):

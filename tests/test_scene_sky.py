@@ -173,9 +173,12 @@ class TestRaytrace:
         tris = jnp.asarray([[[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]])
         o = jnp.asarray([[0.2, 0.2, -1.0]])
         d = jnp.asarray([[0.0, 0.0, 1.0]])
-        t, hit = ray_triangle(o, d, tris)
+        t, hit, u, v = ray_triangle(o, d, tris)
         assert bool(hit[0, 0])
         assert float(t[0, 0]) == pytest.approx(1.0, abs=1e-5)
+        # Barycentric interpolation coords of vertices 1/2 at the hit point
+        assert float(u[0, 0]) == pytest.approx(0.2, abs=1e-5)
+        assert float(v[0, 0]) == pytest.approx(0.2, abs=1e-5)
 
     def test_render_cube_scene(self, cube_gltf):
         sc = Scene.load(cube_gltf)

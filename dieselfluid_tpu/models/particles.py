@@ -100,6 +100,42 @@ def dam_break_state(n3: int, params: FluidParams, extent: float = 0.5) -> FluidS
     return base._replace(pos=pos)
 
 
+def to_aos(state: FluidState) -> jnp.ndarray:
+    """SoA -> AoS (N, 11) rows of [pos vel force density pressure].
+
+    Capability of the reference's AoS views — model/particle.go Particle and
+    the secondary ParticleStructField impl (ref: model/particle_struct_field.go:9,
+    model/particle_array.go:72-96 Get) — as one layout transform instead of a
+    per-index marshal loop.
+    """
+    return jnp.concatenate(
+        [state.pos, state.vel, state.force,
+         state.density[:, None], state.pressure[:, None]], axis=-1)
+
+
+def from_aos(aos: jnp.ndarray,
+             boundary_pos: Optional[jnp.ndarray] = None) -> FluidState:
+    """AoS (N, 11) -> SoA FluidState (ref: model/particle_array.go:98-121 Set)."""
+    return FluidState(
+        pos=aos[:, 0:3], vel=aos[:, 3:6], force=aos[:, 6:9],
+        density=aos[:, 9], pressure=aos[:, 10], boundary_pos=boundary_pos)
+
+
+def particle(state: FluidState, i) -> jnp.ndarray:
+    """One AoS row by global index over [fluid | boundary].
+
+    Boundary indices (i >= n) return their position with zeroed dynamics,
+    matching ref: model/particle_array.go:98-105.
+    """
+    n = state.n
+    fluid_row = to_aos(state)[jnp.minimum(i, n - 1)]
+    if state.boundary_pos is None:
+        return fluid_row
+    b = state.boundary_pos[jnp.clip(i - n, 0, state.boundary_pos.shape[0] - 1)]
+    boundary_row = jnp.concatenate([b, jnp.zeros((8,), jnp.float32)])
+    return jnp.where(i < n, fluid_row, boundary_row)
+
+
 def tree_stack(states):
     """Stack a list of states along a leading time axis (animation export)."""
     return jax.tree.map(lambda *xs: jnp.stack(xs), *states)

@@ -114,6 +114,44 @@ class SampledSpectrum(NamedTuple):
         return xyz_to_rgb(self.to_xyz())
 
 
+def resample_average_1d(domain: jnp.ndarray, values: jnp.ndarray,
+                        g0: jnp.ndarray, g1: jnp.ndarray) -> jnp.ndarray:
+    """Window-averaged resampling of a tabulated piecewise-linear function.
+
+    Capability of the reference's windowed resampler (ref: sampler/
+    sampler_utilities.go:52 SampleAverage1D): the average of the tabulated
+    curve over each window [g0, g1], with constant extension outside the
+    knot range and the reference's midpoint rule per interior segment
+    (``Lerp(0.5, v0, v1) * overlap``). Unlike the Go original — a stateful
+    forward scan with a bind index — every window is computed at once by
+    broadcasting segment/window overlaps, so it vmaps and differentiates.
+
+    domain: (n,) sorted knots; values: (n,); g0/g1: (...,) window edges.
+    """
+    x0, x1 = domain[:-1], domain[1:]                    # (n-1,) segments
+    vmid = 0.5 * (values[:-1] + values[1:])
+    g0b, g1b = g0[..., None], g1[..., None]
+    overlap = jnp.maximum(jnp.minimum(g1b, x1) - jnp.maximum(g0b, x0), 0.0)
+    seg = jnp.sum(vmid * overlap, axis=-1)
+    left = values[0] * jnp.maximum(jnp.minimum(g1, domain[0]) - g0, 0.0)
+    right = values[-1] * jnp.maximum(g1 - jnp.maximum(g0, domain[-1]), 0.0)
+    return (seg + left + right) / (g1 - g0)
+
+
+def spectrum_from_tabulated(domain, values, samples: int,
+                            units: int = WATTS) -> SampledSpectrum:
+    """SampledSpectrum from tabulated (wavelength, value) data, bin-averaged
+    onto the uniform sample grid (ref: spectrum.go FromSampled:241-260 —
+    the consumer of SampleAverage1D; also covers FromFile when paired with
+    io.sampler_json)."""
+    edges = SP_VIOLET + (SP_RED - SP_VIOLET) / samples * jnp.arange(
+        samples + 1, dtype=jnp.float32)
+    vals = resample_average_1d(jnp.asarray(domain, jnp.float32),
+                               jnp.asarray(values, jnp.float32),
+                               edges[:-1], edges[1:])
+    return SampledSpectrum(vals, wavelengths(samples), units)
+
+
 def xyz_to_rgb(xyz):
     """CIE XYZ -> linear sRGB. ref: spectrum.go XYZToRGB:317-323 (same standard matrix)."""
     m = jnp.asarray([

@@ -103,6 +103,32 @@ class TestSpectrum:
         np.testing.assert_allclose(np.asarray(b.sub(a).values), 1.0)
         np.testing.assert_allclose(np.asarray(a.mul(b).values), 2.0)
 
+    def test_resample_average_constant(self):
+        # Averaging a constant tabulated function gives the constant back for
+        # any window, including windows hanging off either end (constant
+        # extension, ref: sampler_utilities.go:73-78).
+        dom = jnp.asarray([400.0, 500.0, 600.0])
+        val = jnp.asarray([2.0, 2.0, 2.0])
+        g0 = jnp.asarray([350.0, 420.0, 580.0])
+        g1 = jnp.asarray([450.0, 480.0, 700.0])
+        out = SP.resample_average_1d(dom, val, g0, g1)
+        np.testing.assert_allclose(np.asarray(out), 2.0, rtol=1e-6)
+
+    def test_resample_average_linear_midpoint_rule(self):
+        # One segment v: 0 -> 10 over [0, 10]; the reference's midpoint rule
+        # gives mean 5 for the fully covering window and for any sub-window.
+        dom = jnp.asarray([0.0, 10.0])
+        val = jnp.asarray([0.0, 10.0])
+        out = SP.resample_average_1d(dom, val, jnp.asarray([0.0, 2.0]),
+                                     jnp.asarray([10.0, 8.0]))
+        np.testing.assert_allclose(np.asarray(out), 5.0, rtol=1e-6)
+
+    def test_spectrum_from_tabulated_matches_constant(self):
+        s = SP.spectrum_from_tabulated(
+            jnp.asarray([300.0, 700.0]), jnp.asarray([1.5, 1.5]), samples=20)
+        np.testing.assert_allclose(np.asarray(s.values), 1.5, rtol=1e-6)
+        assert s.samples == 20
+
 
 class TestLights:
     def test_attenuated_inverse_square(self):

@@ -108,3 +108,34 @@ def test_momentum_symmetric_forces(params):
     f = np.asarray(s.force)
     gravity_total = np.array([0.0, -9.81, 0.0]) * params.mass * (N3 ** 3)
     np.testing.assert_allclose(f.sum(axis=0), gravity_total, rtol=1e-3, atol=5e-2)
+
+
+class TestAoSInterop:
+    """SoA<->AoS marshalling (ref: model/particle.go, particle_struct_field.go,
+    particle_array.go:72-121 Get/Set)."""
+
+    def test_roundtrip(self):
+        from dieselfluid_tpu.models.particles import from_aos, to_aos
+
+        p = FluidParams.for_spacing(0.1)
+        s = dam_break_state(4, p)
+        s = s._replace(density=jnp.arange(64, dtype=jnp.float32),
+                       pressure=jnp.arange(64, dtype=jnp.float32) * 2)
+        aos = to_aos(s)
+        assert aos.shape == (64, 11)
+        back = from_aos(aos)
+        for a, b in zip(back[:5], s[:5]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_boundary_reads_zero_dynamics(self):
+        from dieselfluid_tpu.models.particles import particle
+
+        p = FluidParams.for_spacing(0.1)
+        s = dam_break_state(4, p)
+        s = s._replace(boundary_pos=jnp.ones((8, 3), jnp.float32) * 3.0)
+        row = particle(s, s.n + 2)   # a boundary index
+        np.testing.assert_array_equal(np.asarray(row[:3]), 3.0)   # position
+        np.testing.assert_array_equal(np.asarray(row[3:]), 0.0)   # dynamics
+        fluid_row = particle(s, 0)
+        np.testing.assert_array_equal(np.asarray(fluid_row[:3]),
+                                      np.asarray(s.pos[0]))

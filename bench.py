@@ -63,6 +63,46 @@ def bench_dense_wcsph(n3: int, steps: int, capacity: int = 16):
             "max_overflow": int(np.max(np.asarray(overflow)))}
 
 
+def bench_dense_pcisph(n3: int, steps: int, capacity: int = 32):
+    # capacity 32: PCISPH's zero-pressure start each frame lets the dam front
+    # compress past 2x lattice density transiently; capacity 16 dropped ~3%
+    # of particles at 1M (BENCH_DETAILS dense_pcisph_1m.max_overflow).
+    """PCISPH on the Pallas dense pipeline (BASELINE config 4's solver)."""
+    import jax
+
+    from dieselfluid_tpu.config import FluidParams
+    from dieselfluid_tpu.models.particles import dam_break_state
+    from dieselfluid_tpu.ops.cellops import DenseCellSpec
+    from dieselfluid_tpu.solvers.dense_step import dense_pcisph_step
+    from dieselfluid_tpu.solvers.pcisph import compute_pci_delta
+
+    extent = 0.5
+    dx = (2.0 / n3) * extent
+    params = FluidParams.for_spacing(dx)
+    state = dam_break_state(n3, params, extent=extent)
+    params = params.replace(d0=float(1.1 * params.d0))
+    delta = compute_pci_delta(params, dx)
+    off = params.h / 4.0
+    spec = DenseCellSpec.for_domain((-1 - off,) * 3, (1 + off,) * 3, params.h,
+                                    capacity=capacity)
+    step = jax.jit(lambda s: dense_pcisph_step(s, params, spec, delta))
+
+    s, diag = step(state)
+    np.asarray(s.pos)
+    overflow = [diag.overflow]
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        s, diag = step(s)
+        overflow.append(diag.overflow)
+    np.asarray(s.pos)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(np.asarray(s.pos)).all(), "non-finite trajectory"
+    n = s.pos.shape[0]
+    return {"n": n, "steps": steps, "ms_per_step": dt / steps * 1e3,
+            "psteps_per_sec": n * steps / dt,
+            "max_overflow": int(np.max(np.asarray(overflow)))}
+
+
 def bench_render_1080p(n_particles: int = 4096, frames: int = 5):
     """Forward+backward differentiable splat render at 1920x1080."""
     import jax
@@ -143,6 +183,7 @@ def main():
     for name, fn, kw in (
         ("dense_32k", bench_dense_wcsph, {"n3": 32, "steps": 30}),
         ("dense_262k", bench_dense_wcsph, {"n3": 64, "steps": 15}),
+        ("dense_pcisph_1m", bench_dense_pcisph, {"n3": 100, "steps": 5}),
         ("render_1080p_fwd_bwd", bench_render_1080p, {}),
     ):
         try:

@@ -66,11 +66,21 @@ def _col(v):
 def _sweep(pair_fn: Callable, in_names: Sequence[str], n_out: int,
            planes: Sequence[jnp.ndarray], spec: DenseCellSpec):
     """Run `pair_fn` over the 3x3-column z-swept stencil; n_out (rows,sub,128)
-    planes of per-slot sums (ghost rows of the outputs are garbage — callers
-    sanitize with the mask plane)."""
+    planes of per-slot sums (rows the sweep skipped — empty columns/patches
+    and ghost rows — hold garbage; callers sanitize with the mask plane).
+
+    Each program owns a PATCH of P consecutive y-columns at one x (P=8):
+    its stencil is 3 x-groups x (P+2) y-rows, fetched as three contiguous
+    leading-dim DMAs per channel — 3(P+2)/P ~ 3.75 rows fetched per own
+    column instead of the 9 of the naive per-column stencil, and 1/P the DMA
+    issue count. Outputs accumulate in a (P, sub, 128) scratch and leave in
+    ONE contiguous DMA per plane. The per-column compute is a fori_loop with
+    dynamic LEADING-dim scratch addressing (legal in Mosaic; only dynamic
+    *sublane* addressing is not — round-1 fault, see module docstring)."""
     py, sub, cap = spec.py, spec.sub, spec.capacity
     n_in = len(in_names)
     nblk = sub - 2
+    P = min(8, spec.ny)
 
     def kernel(*refs):
         in_refs = refs[:n_in]
@@ -80,76 +90,96 @@ def _sweep(pair_fn: Callable, in_names: Sequence[str], n_out: int,
         in_sems, out_sems = refs[-2], refs[-1]
 
         i = pl.program_id(0)
-        j = pl.program_id(1)
-        r = (i + 1) * py + (j + 1)
+        jb = pl.program_id(1)
+        # Clamp the last (partial) patch so it always covers P columns;
+        # overlapped columns are recomputed with identical results.
+        oy = jnp.minimum(jb * P, spec.ny - P)
         m_idx = in_names.index("mask")
 
         def stencil_dmas(which):
             dmas = []
             for p in which:
-                for g, dr in enumerate((-py, 0, py)):
+                for gx in range(3):
                     d = pltpu.make_async_copy(
-                        in_refs[p].at[pl.ds(r + dr - 1, 3), pl.ds(0, sub),
+                        in_refs[p].at[pl.ds((i + gx) * py + oy, P + 2),
+                                      pl.ds(0, sub), pl.ds(0, 128)],
+                        scratch[p].at[gx, pl.ds(0, P + 2), pl.ds(0, sub),
                                       pl.ds(0, 128)],
-                        scratch[p].at[pl.ds(g * 3, 3), pl.ds(0, sub),
-                                      pl.ds(0, 128)],
-                        in_sems.at[p, g],
+                        in_sems.at[p, gx],
                     )
                     d.start()
                     dmas.append(d)
             for d in dmas:
                 d.wait()
 
-        # Mask column first: an empty own column (no particles anywhere in
-        # this (x, y) cell column) skips the other DMAs and all compute —
-        # the dense layout's occupancy is data-dependent (a dam break fills
-        # an eighth of the domain), and empty-cell tiles dominate otherwise.
+        # Mask stencil first: a patch with no particles in any own column
+        # skips the other DMAs and all compute — the dense layout's occupancy
+        # is data-dependent (a dam break fills an eighth of the domain).
         stencil_dmas([m_idx])
-        col_any = jnp.max(scratch[m_idx][4]) > 0.0
+        patch_any = jnp.max(scratch[m_idx][1, 1:P + 1]) > 0.0
 
-        @pl.when(col_any)
-        def _column():
+        @pl.when(patch_any)
+        def _patch():
             stencil_dmas([p for p in range(n_in) if p != m_idx])
 
-            # Static z sweep: nblk is small, so unroll with static sublane
-            # indices (dynamic sublane addressing inside fori_loop faulted
-            # on hardware in round 1 and is not worth re-litigating).
-            for kb in range(nblk):
-                own = {n: _col(scratch[p][4, kb + 1:kb + 2, :])
-                       for p, n in enumerate(in_names)}
+            def col_body(c, _):
+                own_any = jnp.max(scratch[m_idx][1, c + 1]) > 0.0
 
-                # Skip z blocks with no particles in the own row.
-                @pl.when(jnp.max(own["mask"]) > 0.0)
-                def _block(kb=kb, own=own):
-                    outs = [jnp.zeros((128, 1), jnp.float32)
-                            for _ in range(n_out)]
+                @pl.when(own_any)
+                def _column():
+                    # Static z sweep: nblk is small, so unroll with static
+                    # sublane indices (dynamic SUBLANE addressing inside
+                    # fori_loop faulted on hardware in round 1).
+                    for kb in range(nblk):
+                        own = {n: _col(scratch[p][1, c + 1, kb + 1:kb + 2, :])
+                               for p, n in enumerate(in_names)}
 
-                    def accumulate(cand):
-                        contrib = pair_fn(own, cand)
-                        for o in range(n_out):
-                            outs[o] = outs[o] + jnp.sum(contrib[o], axis=1,
-                                                        keepdims=True)
+                        # Skip z blocks with no particles in the own row.
+                        @pl.when(jnp.max(own["mask"]) > 0.0)
+                        def _block(kb=kb, own=own):
+                            outs = [jnp.zeros((128, 1), jnp.float32)
+                                    for _ in range(n_out)]
 
-                    for g in range(9):
-                        # Center row: all 128 lanes (same sublane row).
-                        accumulate({n: scratch[p][g, kb + 1:kb + 2, :]
-                                    for p, n in enumerate(in_names)})
-                        # Row below: only its LAST z cell borders our first.
-                        accumulate({n: scratch[p][g, kb:kb + 1,
-                                                  128 - cap:128]
-                                    for p, n in enumerate(in_names)})
-                        # Row above: only its FIRST z cell borders our last.
-                        accumulate({n: scratch[p][g, kb + 2:kb + 3, 0:cap]
-                                    for p, n in enumerate(in_names)})
+                            def accumulate(cand):
+                                contrib = pair_fn(own, cand)
+                                for o in range(n_out):
+                                    outs[o] = outs[o] + jnp.sum(
+                                        contrib[o], axis=1, keepdims=True)
 
-                    own_m = own["mask"]
-                    for o in range(n_out):
-                        accs[o][0, kb + 1:kb + 2, :] = _col(outs[o] * own_m)
+                            for gx in range(3):
+                                for dy in range(3):
+                                    # Center row: all 128 lanes.
+                                    accumulate({
+                                        n: scratch[p][gx, c + dy,
+                                                      kb + 1:kb + 2, :]
+                                        for p, n in enumerate(in_names)})
+                                    # Row below: only its LAST z cell
+                                    # borders our first.
+                                    accumulate({
+                                        n: scratch[p][gx, c + dy, kb:kb + 1,
+                                                      128 - cap:128]
+                                        for p, n in enumerate(in_names)})
+                                    # Row above: only its FIRST z cell
+                                    # borders our last.
+                                    accumulate({
+                                        n: scratch[p][gx, c + dy,
+                                                      kb + 2:kb + 3, 0:cap]
+                                        for p, n in enumerate(in_names)})
+
+                            own_m = own["mask"]
+                            for o in range(n_out):
+                                accs[o][c, kb + 1:kb + 2, :] = _col(
+                                    outs[o] * own_m)
+
+                return 0
+
+            jax.lax.fori_loop(0, P, col_body, 0)
 
             for o in range(n_out):
                 d = pltpu.make_async_copy(
-                    accs[o].at[pl.ds(0, 1), pl.ds(0, sub), pl.ds(0, 128)],
-                    out_refs[o].at[pl.ds(r, 1), pl.ds(0, sub), pl.ds(0, 128)],
+                    accs[o].at[pl.ds(0, P), pl.ds(0, sub), pl.ds(0, 128)],
+                    out_refs[o].at[pl.ds((i + 1) * py + oy + 1, P),
+                                   pl.ds(0, sub), pl.ds(0, 128)],
                     out_sems.at[o],
                 )
                 d.start()
@@ -158,13 +188,14 @@ def _sweep(pair_fn: Callable, in_names: Sequence[str], n_out: int,
     shape = jax.ShapeDtypeStruct(spec.plane_shape, jnp.float32)
     return pl.pallas_call(
         kernel,
-        grid=(spec.nx, spec.ny),
+        grid=(spec.nx, pl.cdiv(spec.ny, P)),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_out,
         out_shape=[shape] * n_out,
         scratch_shapes=(
-            [pltpu.VMEM((9, sub, 128), jnp.float32) for _ in range(n_in)]
-            + [pltpu.VMEM((1, sub, 128), jnp.float32) for _ in range(n_out)]
+            [pltpu.VMEM((3, P + 2, sub, 128), jnp.float32)
+             for _ in range(n_in)]
+            + [pltpu.VMEM((P, sub, 128), jnp.float32) for _ in range(n_out)]
             + [pltpu.SemaphoreType.DMA((n_in, 3)),
                pltpu.SemaphoreType.DMA((n_out,))]
         ),
@@ -260,9 +291,13 @@ density_planes.defvjp(_density_fwd, _density_bwd)
 # ---------------------------------------------------------------------------
 
 _F_IN = ("x", "y", "z", "vx", "vy", "vz", "mask", "rho", "press")
+_F_IN_P = ("x", "y", "z", "mask", "rho", "press")   # pressure-only (mu == 0)
 
 
 def _force_pair(k: KernelCoeffs, mass: float, mu: float):
+    """mu == 0.0 compiles the pressure-only pair function — no velocity
+    channels, no viscosity math (the PCISPH correction loop's case: its
+    force sweeps run per iteration with viscosity hoisted out)."""
     h, b_w, c_w = float(k.h), float(k.b), float(k.c)
     h2 = h * h
 
@@ -283,6 +318,8 @@ def _force_pair(k: KernelCoeffs, mass: float, mu: float):
         coeff = pi_term + cand["press"] / (rho_j * rho_j)
         s_p = jnp.where(live, (mass * mass) * coeff * o1d * inv_d, 0.0)
 
+        if mu == 0.0:
+            return (s_p * dx, s_p * dy, s_p * dz)
         o2d = c_w * q1
         s_v = jnp.where(live, (mu * mass) * o2d / rho_j, 0.0)
         return (s_p * dx + s_v * (cand["vx"] - own["vx"]),
@@ -293,6 +330,7 @@ def _force_pair(k: KernelCoeffs, mass: float, mu: float):
 
 
 _F_GRAD = ("x", "y", "z", "vx", "vy", "vz", "rho", "press")
+_F_GRAD_P = ("x", "y", "z", "rho", "press")
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -300,11 +338,13 @@ def force_planes(planes: Dict[str, jnp.ndarray], rho_plane, press_plane,
                  spec: DenseCellSpec, k: KernelCoeffs, mass: float, mu: float):
     """(fx, fy, fz) planes: symmetric pressure force + viscosity
     (capability of pcisph.h pressure_force/viscosity_force), differentiable
-    w.r.t. positions, velocities, densities and pressures."""
+    w.r.t. positions, velocities, densities and pressures. With mu == 0.0
+    the velocity planes are neither read nor required in `planes`."""
+    names = _F_IN_P if mu == 0.0 else _F_IN
     ins = dict(planes)
     ins["rho"], ins["press"] = rho_plane, press_plane
-    fx, fy, fz = _sweep(_force_pair(k, mass, mu), _F_IN,
-                        3, [ins[n] for n in _F_IN], spec)
+    fx, fy, fz = _sweep(_force_pair(k, mass, mu), names,
+                        3, [ins[n] for n in names], spec)
     m = planes["mask"]
     return _mask_where(m, fx), _mask_where(m, fy), _mask_where(m, fz)
 
@@ -316,14 +356,16 @@ def _force_fwd(planes, rho_plane, press_plane, spec, k, mass, mu):
 
 def _force_bwd(spec, k, mass, mu, res, cts):
     planes, rho_plane, press_plane = res
+    in_names = _F_IN_P if mu == 0.0 else _F_IN
+    grad_names = _F_GRAD_P if mu == 0.0 else _F_GRAD
     m = planes["mask"]
     ins = dict(planes)
     ins["rho"], ins["press"] = rho_plane, press_plane
-    names = _F_IN + ("ct_0", "ct_1", "ct_2")
-    arrs = [ins[n] for n in _F_IN] + [_mask_where(m, c) for c in cts]
-    grads = _sweep(_bwd_pair(_force_pair(k, mass, mu), 3, _F_GRAD),
-                   names, len(_F_GRAD), arrs, spec)
-    g = {n: _mask_where(m, gr) for n, gr in zip(_F_GRAD, grads)}
+    names = in_names + ("ct_0", "ct_1", "ct_2")
+    arrs = [ins[n] for n in in_names] + [_mask_where(m, c) for c in cts]
+    grads = _sweep(_bwd_pair(_force_pair(k, mass, mu), 3, grad_names),
+                   names, len(grad_names), arrs, spec)
+    g = {n: _mask_where(m, gr) for n, gr in zip(grad_names, grads)}
     d_planes = {n: g.get(n, jnp.zeros_like(v)) for n, v in planes.items()}
     return (d_planes, g["rho"], g["press"])
 

@@ -18,7 +18,13 @@ import jax.numpy as jnp
 
 from dieselfluid_tpu.config import FluidParams
 from dieselfluid_tpu.models.particles import FluidState
-from dieselfluid_tpu.ops.cellops import DenseCellSpec, build_planes, dense_indices, gather_plane
+from dieselfluid_tpu.ops.cellops import (
+    DenseCellSpec,
+    build_planes,
+    dense_indices,
+    gather_plane,
+    gather_planes,
+)
 from dieselfluid_tpu.ops.pallas_sph import density_planes, force_planes
 from dieselfluid_tpu.ops.smoothing import KernelCoeffs, tait_eos
 from dieselfluid_tpu.solvers.integrate import StepDiagnostics, box_collide, semi_implicit_euler
@@ -66,13 +72,8 @@ def dense_density_forces(state: FluidState, params: FluidParams,
                                     params.mass, float(params.mu))
 
     flat_f, valid_f = flat[:n], valid[:n]
-    rho = gather_plane(rho_plane, flat_f)
-    pressure = gather_plane(press_plane, flat_f)
-    force = jnp.stack([
-        gather_plane(fx_p, flat_f),
-        gather_plane(fy_p, flat_f),
-        gather_plane(fz_p, flat_f),
-    ], axis=-1)
+    out = gather_planes([rho_plane, press_plane, fx_p, fy_p, fz_p], flat_f)
+    rho, pressure, force = out[:, 0], out[:, 1], out[:, 2:5]
     # Overflowed particles fall back to zero interaction (gravity only);
     # overflow is returned so callers can size capacity.
     rho = jnp.where(valid_f, rho, d0)
@@ -145,8 +146,7 @@ def dense_pcisph_step(
     zero_press = jnp.zeros(spec.plane_shape, jnp.float32)
     vx_p, vy_p, vz_p = force_planes(planes, rho_plane, zero_press, spec, k,
                                     params.mass, float(params.mu))
-    visc = jnp.stack([gather_plane(vx_p, flat_f), gather_plane(vy_p, flat_f),
-                      gather_plane(vz_p, flat_f)], axis=-1)
+    visc = gather_planes([vx_p, vy_p, vz_p], flat_f)
     gravity = jnp.asarray(params.gravity, jnp.float32) * params.mass
     ext_force = gravity + visc
 
@@ -171,7 +171,12 @@ def dense_pcisph_step(
                 [vel_star, jnp.zeros_like(state.boundary_pos)], axis=0)
         else:
             pos_ext, vel_ext = pos_star, vel_star
-        p_star = planes_at(pos_ext, vel_ext)
+        # Density at the predicted positions needs positions only (3-channel
+        # scatter); the correction force runs the pressure-only kernel
+        # (mu=0), so neither pass touches velocity planes.
+        p_star = build_planes(
+            {"x": pos_ext[:, 0], "y": pos_ext[:, 1], "z": pos_ext[:, 2]},
+            flat, valid, spec)
         rho_star_plane = density_planes(p_star, spec, k, params.mass)
         rho_star = gather_plane(rho_star_plane, flat_f)
         err = rho_star - params.d0
@@ -183,13 +188,14 @@ def dense_pcisph_step(
         rff_plane = scatter(rho_for_force, boundary_value=params.d0)
         fx_p, fy_p, fz_p = force_planes(planes, rff_plane, press_plane, spec, k,
                                         params.mass, 0.0)
-        f_p = jnp.stack([gather_plane(fx_p, flat_f), gather_plane(fy_p, flat_f),
-                         gather_plane(fz_p, flat_f)], axis=-1)
+        f_p = gather_planes([fx_p, fy_p, fz_p], flat_f)
         max_ratio = jnp.max(err) / params.d0
         return _Carry(c.it + 1, max_ratio, pressure, f_p)
 
+    # Warm start (ref parity: pcisph_darwin.go:86 accumulates onto the
+    # persistent pressure buffer; see solvers.pcisph.pcisph_step_core).
     init = _Carry(it=jnp.int32(0), err=jnp.float32(jnp.inf),
-                  pressure=jnp.zeros_like(state.pressure),
+                  pressure=state.pressure,
                   f_p=jnp.zeros_like(state.force))
     cond = lambda c: (c.it < params.pci_max_iters) & (
         c.err > params.pci_max_density_error_ratio)

@@ -115,3 +115,24 @@ class TestKernelsInterpreted:
         np.testing.assert_allclose(rho, np.asarray(rho_o), rtol=1e-5)
         scale = np.abs(f_o).max()
         np.testing.assert_allclose(force / scale, f_o / scale, atol=1e-5)
+
+    @pytest.mark.parametrize("n3,domain", [
+        (6, 1.0),    # ny < P: patch covers the whole axis
+        (8, 1.375),  # ny % P != 0: last patch clamps + overlaps
+    ])
+    def test_density_matches_oracle_on_odd_grids(self, n3, domain):
+        """Patch-clamping edges: ny not divisible by (or smaller than) the
+        per-program patch of y-columns must still match the oracle."""
+        dx = (2.0 / n3) * 0.5
+        params = FluidParams.for_spacing(dx)
+        s = dam_break_state(n3, params, extent=0.5)
+        params = params.replace(d0=float(1.1 * params.d0))
+        spec = DenseCellSpec.for_domain((-domain,) * 3, (domain,) * 3,
+                                        params.h, capacity=16)
+        with pltpu.force_tpu_interpret_mode():
+            rho, _, force, ovf = dense_density_forces(s, params, spec)
+        assert int(ovf) == 0
+        nb = brute_force_neighborhood(s.pos, s.pos, params.h, 96)
+        rho_o = F.density_with_self(s.pos, nb, params)
+        np.testing.assert_allclose(np.asarray(rho), np.asarray(rho_o),
+                                   rtol=1e-5)

@@ -122,10 +122,15 @@ def pcisph_step_core(
     gravity = jnp.asarray(params.gravity, jnp.float32) * params.mass
     ext_force = gravity + visc
 
+    # Warm start from last frame's pressures — the reference PERSISTS the
+    # pressure buffer across frames (ref: solver/pcisph/pcisph_darwin.go:86
+    # accumulates onto the aliased field.Pressures() slice; Update resets
+    # forces only, fluid.go:192). Also better physics: the settled pressure
+    # field needs fewer correction iterations than a cold zero start.
     init = _Carry(
         it=jnp.int32(0),
         err=jnp.float32(jnp.inf),
-        pressure=jnp.zeros_like(state.pressure),
+        pressure=state.pressure,
         f_p=jnp.zeros_like(state.force),
     )
 

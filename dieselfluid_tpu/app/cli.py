@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--resume", type=str, default=None, help="checkpoint dir to resume")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--guard", action="store_true",
+                   help="run under failure detection: periodic device-side "
+                        "health checks, rollback + dt backoff on divergence "
+                        "(utils/guard.py)")
     return p
 
 
@@ -109,15 +113,43 @@ def main(argv=None) -> int:
     ckptr = (Checkpointer(args.out + "/ckpt", interval=args.checkpoint_every)
              if args.checkpoint_every else None)
 
+    runner = None
+    if args.guard:
+        from dieselfluid_tpu.models.sph import build_step_fn
+        from dieselfluid_tpu.utils.guard import GuardedRunner
+
+        runner = GuardedRunner(
+            sim.state, sim.params,
+            lambda prm: build_step_fn(config, prm, sim.delta),
+            check_every=max(1, args.render_every), checkpointer=ckptr)
+
     t0 = time.perf_counter()
-    for frame in range(args.steps):
-        diag = sim.step()
-        if args.render and frame % args.render_every == 0:
-            writer.add_frame(sim.state.pos, image=render_frame(sim.state.pos))
-        elif args.ply or frame % args.render_every == 0:
-            writer.add_frame(sim.state.pos)
-        if ckptr:
-            ckptr.maybe_save(sim.state, sim.step_count, sim.params, config)
+    diag = None
+    if runner is not None:
+        frame = 0
+        rep = None
+        while frame < args.steps:
+            n = min(max(1, args.render_every), args.steps - frame)
+            rep = runner.run(n)
+            frame += n
+            sim.state, sim.step_count = runner.state, runner.step_count
+            if args.render:
+                writer.add_frame(sim.state.pos,
+                                 image=render_frame(sim.state.pos))
+            elif args.ply:
+                writer.add_frame(sim.state.pos)
+        if runner.recoveries:
+            print(f"guard: {runner.recoveries} recoveries, "
+                  f"dt now {runner.params.dt:.6f}")
+    else:
+        for frame in range(args.steps):
+            diag = sim.step()
+            if args.render and frame % args.render_every == 0:
+                writer.add_frame(sim.state.pos, image=render_frame(sim.state.pos))
+            elif args.ply or frame % args.render_every == 0:
+                writer.add_frame(sim.state.pos)
+            if ckptr:
+                ckptr.maybe_save(sim.state, sim.step_count, sim.params, config)
     dt = time.perf_counter() - t0
 
     outputs = {"npz": writer.write_npz({"config": config.to_json()})}
@@ -126,12 +158,18 @@ def main(argv=None) -> int:
     if args.video and writer.images:
         outputs["video"] = writer.write_video()
 
+    max_vel = None
+    if diag is not None:
+        max_vel = float(diag.max_vel)
+    elif runner is not None and rep is not None:
+        max_vel = float(rep.max_vel)
     print(json.dumps({
         "steps": args.steps,
         "particles": sim.n(),
         "wall_s": round(dt, 2),
         "particle_steps_per_s": round(sim.n() * args.steps / dt, 1),
-        "max_vel": float(diag.max_vel) if diag else None,
+        "max_vel": max_vel,
+        "recoveries": runner.recoveries if runner else 0,
         "outputs": outputs,
     }))
     return 0

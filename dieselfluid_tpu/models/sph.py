@@ -25,6 +25,40 @@ from dieselfluid_tpu.solvers.pcisph import compute_pci_delta, pcisph_step
 from dieselfluid_tpu.solvers.wcsph import wcsph_step
 
 
+def build_step_fn(config: SimConfig, params: FluidParams, delta: float = 0.0,
+                  collider=None) -> Callable:
+    """step_fn(state) -> (state, diag) for a config/params binding.
+
+    Factored out of Simulation.create so recovery paths (utils.guard) and
+    parameter updates can rebind the jitted step to new params.
+    """
+    if config.neighbors == "dense":
+        # Pallas dense-cell pipeline (TPU production path)
+        from dieselfluid_tpu.ops.cellops import DenseCellSpec
+        from dieselfluid_tpu.solvers.dense_step import (
+            dense_pcisph_step, dense_wcsph_step)
+
+        dspec = DenseCellSpec.for_domain((-1, -1, -1), (1, 1, 1), params.h,
+                                         capacity=config.cell_capacity)
+        if config.solver == "pcisph":
+            return lambda s: dense_pcisph_step(s, params, dspec, delta,
+                                               collider=collider)
+        return lambda s: dense_wcsph_step(s, params, dspec, collider=collider)
+
+    if config.neighbors == "cellgrid":
+        spec = CellGridSpec.for_domain((-1, -1, -1), (1, 1, 1), params.h,
+                                       capacity=config.cell_capacity)
+        nfn = lambda pos: cell_grid_neighborhood(
+            pos, pos, params.h, config.max_neighbors, spec)
+    else:
+        nfn = lambda pos: brute_force_neighborhood(
+            pos, pos, params.h, config.max_neighbors)
+    if config.solver == "pcisph":
+        return lambda s: pcisph_step(s, params, delta, neighbor_fn=nfn,
+                                     collider=collider)
+    return lambda s: wcsph_step(s, params, neighbor_fn=nfn, collider=collider)
+
+
 @dataclasses.dataclass
 class Simulation:
     """A configured simulation: state + jitted step + bookkeeping."""
@@ -67,36 +101,7 @@ class Simulation:
         if config.solver == "pcisph":
             delta = compute_pci_delta(params, dx)
 
-        if config.neighbors == "dense":
-            # Pallas dense-cell pipeline (TPU production path)
-            from dieselfluid_tpu.ops.cellops import DenseCellSpec
-            from dieselfluid_tpu.solvers.dense_step import (
-                dense_pcisph_step, dense_wcsph_step)
-
-            dspec = DenseCellSpec.for_domain((-1, -1, -1), (1, 1, 1), params.h,
-                                             capacity=config.cell_capacity)
-            if config.solver == "pcisph":
-                step_fn = lambda s: dense_pcisph_step(s, params, dspec, delta,
-                                                      collider=collider)
-            else:
-                step_fn = lambda s: dense_wcsph_step(s, params, dspec,
-                                                     collider=collider)
-        else:
-            if config.neighbors == "cellgrid":
-                spec = CellGridSpec.for_domain((-1, -1, -1), (1, 1, 1), params.h,
-                                               capacity=config.cell_capacity)
-                nfn = lambda pos: cell_grid_neighborhood(
-                    pos, pos, params.h, config.max_neighbors, spec)
-            else:
-                nfn = lambda pos: brute_force_neighborhood(
-                    pos, pos, params.h, config.max_neighbors)
-            if config.solver == "pcisph":
-                step_fn = lambda s: pcisph_step(s, params, delta, neighbor_fn=nfn,
-                                                collider=collider)
-            else:
-                step_fn = lambda s: wcsph_step(s, params, neighbor_fn=nfn,
-                                               collider=collider)
-
+        step_fn = build_step_fn(config, params, delta, collider)
         return Simulation(config=config, params=params, state=state,
                           step_fn=step_fn, delta=delta, dx=dx)
 
@@ -137,23 +142,8 @@ class Simulation:
 
     def set_viscosity(self, mu: float):
         """ref: fluid.go SetViscosity — rebind the step to updated params."""
-        from dieselfluid_tpu.neighbors.cellgrid import CellGridSpec, cell_grid_neighborhood
-        from dieselfluid_tpu.neighbors.bruteforce import brute_force_neighborhood
-
         self.params = self.params.replace(mu=mu)
-        params, cfg = self.params, self.config
-        if cfg.neighbors == "cellgrid":
-            spec = CellGridSpec.for_domain((-1, -1, -1), (1, 1, 1), params.h,
-                                           capacity=cfg.cell_capacity)
-            nfn = lambda pos: cell_grid_neighborhood(pos, pos, params.h,
-                                                     cfg.max_neighbors, spec)
-        else:
-            nfn = lambda pos: brute_force_neighborhood(pos, pos, params.h,
-                                                       cfg.max_neighbors)
-        if cfg.solver == "pcisph":
-            self.step_fn = lambda s: pcisph_step(s, params, self.delta, neighbor_fn=nfn)
-        else:
-            self.step_fn = lambda s: wcsph_step(s, params, neighbor_fn=nfn)
+        self.step_fn = build_step_fn(self.config, self.params, self.delta)
 
     def cache_incr(self) -> float:
         """NN cache-extinction schedule (ref: fluid.go CacheIncr:208-215).

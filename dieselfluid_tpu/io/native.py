@@ -27,7 +27,8 @@ def _build() -> bool:
     for cc in ("c++", "g++", "cc"):
         try:
             subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", _SRC_PATH, "-o", _LIB_PATH],
+                [cc, "-O3", "-std=c++17", "-pthread", "-shared", "-fPIC",
+                 _SRC_PATH, "-o", _LIB_PATH],
                 check=True, capture_output=True, timeout=120,
             )
             return True
@@ -67,8 +68,69 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.framepack_read_dfc_header.restype = ctypes.c_int
     lib.framepack_read_dfc.argtypes = [ctypes.c_char_p, f32p, ctypes.c_int64]
     lib.framepack_read_dfc.restype = ctypes.c_int
+    lib.framepack_stream_open.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int64]
+    lib.framepack_stream_open.restype = ctypes.c_void_p
+    lib.framepack_stream_append.argtypes = [ctypes.c_void_p, f32p]
+    lib.framepack_stream_append.restype = ctypes.c_int
+    lib.framepack_stream_close.argtypes = [ctypes.c_void_p]
+    lib.framepack_stream_close.restype = ctypes.c_int64
     _lib = lib
     return _lib
+
+
+class StreamWriter:
+    """Async trajectory writer: frames drain to disk on a NATIVE worker
+    thread behind a bounded queue, so export overlaps simulation instead of
+    stalling it (at 1M particles a frame is 12 MB — synchronous writes stall
+    the step loop). Pure-Python synchronous fallback without a toolchain.
+
+    mode: "ply" (numbered point clouds) or "dfc" (one packed cache file).
+    """
+
+    def __init__(self, out_dir: str, name: str, n_particles: int,
+                 mode: str = "dfc", max_queue: int = 4):
+        os.makedirs(out_dir, exist_ok=True)
+        self.out_dir, self.name = out_dir, name
+        self.n = n_particles
+        self.mode = mode
+        self.frames = 0
+        self._handle = None
+        self._fallback_frames = []
+        lib = get_lib()
+        if lib is not None:
+            self._handle = lib.framepack_stream_open(
+                out_dir.encode(), name.encode(), n_particles,
+                1 if mode == "dfc" else 0, max_queue)
+
+    def append(self, positions: np.ndarray):
+        frame = np.ascontiguousarray(positions, np.float32)
+        assert frame.shape == (self.n, 3), frame.shape
+        if self._handle:
+            rc = get_lib().framepack_stream_append(self._handle, frame)
+            if rc != 0:
+                raise IOError(f"framepack stream error {rc}")
+        else:
+            self._fallback_frames.append(frame.copy())
+        self.frames += 1
+
+    def close(self) -> int:
+        """Drain and finalize; returns frames written."""
+        if self._handle:
+            written = int(get_lib().framepack_stream_close(self._handle))
+            self._handle = None
+            if written < 0:
+                raise IOError(f"framepack stream error {written}")
+            return written
+        traj = (np.stack(self._fallback_frames)
+                if self._fallback_frames
+                else np.zeros((0, self.n, 3), np.float32))
+        if self.mode == "dfc":
+            write_dfc(os.path.join(self.out_dir, f"{self.name}.dfc"), traj)
+        else:
+            write_ply_sequence(self.out_dir, self.name, traj)
+        return len(self._fallback_frames)
 
 
 def write_ply_sequence(out_dir: str, name: str, trajectory: np.ndarray) -> int:

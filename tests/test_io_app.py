@@ -217,3 +217,34 @@ class TestNativeFramepack:
         back = native.read_dfc(p)
         assert back.shape == (3, 10, 3)
         np.testing.assert_allclose(back[2], 2.0)
+
+
+class TestStreamWriter:
+    """Async native frame streaming (native/framepack.cpp stream API)."""
+
+    def test_dfc_stream_roundtrip(self, tmp_path):
+        from dieselfluid_tpu.io.native import StreamWriter, read_dfc
+
+        n = 100
+        frames = [np.random.RandomState(i).rand(n, 3).astype(np.float32)
+                  for i in range(7)]
+        w = StreamWriter(str(tmp_path), "traj", n, mode="dfc", max_queue=2)
+        for f in frames:
+            w.append(f)
+        assert w.close() == 7
+        back = read_dfc(str(tmp_path / "traj.dfc"))
+        assert back.shape == (7, n, 3)
+        np.testing.assert_array_equal(back, np.stack(frames))
+
+    def test_ply_stream_counts_files(self, tmp_path):
+        import os
+
+        from dieselfluid_tpu.io.native import StreamWriter
+
+        n = 64
+        w = StreamWriter(str(tmp_path), "pts", n, mode="ply")
+        for i in range(4):
+            w.append(np.full((n, 3), float(i), np.float32))
+        assert w.close() == 4
+        plys = [f for f in os.listdir(tmp_path) if f.endswith(".ply")]
+        assert len(plys) == 4

@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--size", type=int, default=384, help="render resolution")
     p.add_argument("--video", action="store_true", help="write mp4 from rendered frames")
     p.add_argument("--ply", action="store_true", help="write per-frame PLY point clouds")
+    p.add_argument("--stream", choices=["dfc", "ply"], default=None,
+                   help="stream frames to disk on the native writer thread "
+                        "(io/native.py StreamWriter) instead of buffering "
+                        "the trajectory in memory")
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--resume", type=str, default=None, help="checkpoint dir to resume")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
@@ -110,6 +114,12 @@ def main(argv=None) -> int:
                                        args.size, args.size).color
 
     writer = AnimationWriter(args.out, name=f"{args.solver}_{args.n3}")
+    stream = None
+    if args.stream:
+        from dieselfluid_tpu.io.native import StreamWriter
+
+        stream = StreamWriter(args.out, f"{args.solver}_{args.n3}", sim.n(),
+                              mode=args.stream)
     ckptr = (Checkpointer(args.out + "/ckpt", interval=args.checkpoint_every)
              if args.checkpoint_every else None)
 
@@ -133,6 +143,10 @@ def main(argv=None) -> int:
             rep = runner.run(n)
             frame += n
             sim.state, sim.step_count = runner.state, runner.step_count
+            if stream is not None:
+                import numpy as np
+
+                stream.append(np.asarray(sim.state.pos))
             if args.render:
                 writer.add_frame(sim.state.pos,
                                  image=render_frame(sim.state.pos))
@@ -144,6 +158,10 @@ def main(argv=None) -> int:
     else:
         for frame in range(args.steps):
             diag = sim.step()
+            if stream is not None and frame % args.render_every == 0:
+                import numpy as np
+
+                stream.append(np.asarray(sim.state.pos))
             if args.render and frame % args.render_every == 0:
                 writer.add_frame(sim.state.pos, image=render_frame(sim.state.pos))
             elif args.ply or frame % args.render_every == 0:
@@ -153,6 +171,8 @@ def main(argv=None) -> int:
     dt = time.perf_counter() - t0
 
     outputs = {"npz": writer.write_npz({"config": config.to_json()})}
+    if stream is not None:
+        outputs["stream"] = f"{stream.close()} frames ({args.stream})"
     if args.ply:
         outputs["ply"] = f"{len(writer.write_ply_sequence())} files"
     if args.video and writer.images:

@@ -23,7 +23,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n3", type=int, default=12,
                    help="cubic root of particle count (ref default 16 -> 4096)")
     p.add_argument("--solver", choices=["wcsph", "pcisph"], default="wcsph")
-    p.add_argument("--neighbors", choices=["cellgrid", "bruteforce"], default="cellgrid")
+    p.add_argument("--neighbors", choices=["cellgrid", "bruteforce", "dense"],
+                   default="cellgrid",
+                   help="'dense' = the Pallas dense-cell production path")
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--extent", type=float, default=0.5, help="dam-break column extent")
     p.add_argument("--scene", choices=["dam_break", "lattice"], default="dam_break")
@@ -178,17 +180,25 @@ def main(argv=None) -> int:
     if args.video and writer.images:
         outputs["video"] = writer.write_video()
 
-    max_vel = None
+    max_vel = overflow = None
     if diag is not None:
         max_vel = float(diag.max_vel)
+        overflow = int(diag.overflow)
     elif runner is not None and rep is not None:
         max_vel = float(rep.max_vel)
+        overflow = int(rep.overflow)
+    if overflow:
+        # Nonzero = this step under-resolved interactions (cell-capacity
+        # drops) — loudly, per round-1 verdict on silent degradation.
+        print(f"WARNING: neighbor-structure overflow={overflow} on the last "
+              "step; raise cell_capacity", file=sys.stderr)
     print(json.dumps({
         "steps": args.steps,
         "particles": sim.n(),
         "wall_s": round(dt, 2),
         "particle_steps_per_s": round(sim.n() * args.steps / dt, 1),
         "max_vel": max_vel,
+        "overflow": overflow,
         "recoveries": runner.recoveries if runner else 0,
         "outputs": outputs,
     }))

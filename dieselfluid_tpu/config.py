@@ -101,7 +101,7 @@ class SimConfig:
 
     n3: int = 16                      # cubic root of particle count (ref default 16 -> 4096)
     solver: str = "wcsph"             # "wcsph" | "pcisph"
-    neighbors: str = "cellgrid"       # "bruteforce" | "cellgrid"
+    neighbors: str = "cellgrid"       # "bruteforce" | "cellgrid" | "dense"
     max_neighbors: int = 128          # fixed neighbor-list degree (ref caps at 100-150 samples)
     cell_capacity: int = 32           # particles per cell in the cell table
     steps_per_frame: int = 1

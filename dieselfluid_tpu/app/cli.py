@@ -166,13 +166,21 @@ def main(argv=None) -> int:
                 stream.append(np.asarray(sim.state.pos))
             if args.render and frame % args.render_every == 0:
                 writer.add_frame(sim.state.pos, image=render_frame(sim.state.pos))
-            elif args.ply or frame % args.render_every == 0:
+            elif args.ply:
+                writer.add_frame(sim.state.pos)
+            elif stream is None and frame % args.render_every == 0:
+                # Trajectory npz sampling — but NOT when --stream is active:
+                # streaming's whole point is bounded host memory, so don't
+                # buffer (and later duplicate on disk) what the native writer
+                # already drains.
                 writer.add_frame(sim.state.pos)
             if ckptr:
                 ckptr.maybe_save(sim.state, sim.step_count, sim.params, config)
     dt = time.perf_counter() - t0
 
-    outputs = {"npz": writer.write_npz({"config": config.to_json()})}
+    outputs = {}
+    if writer.frames:
+        outputs["npz"] = writer.write_npz({"config": config.to_json()})
     if stream is not None:
         outputs["stream"] = f"{stream.close()} frames ({args.stream})"
     if args.ply:

@@ -83,6 +83,13 @@ class Checkpointer:
                    config: Optional[SimConfig] = None) -> bool:
         if step % self.interval != 0:
             return False
+        return self.save(state, step, params, config)
+
+    def save(self, state: FluidState, step: int,
+             params: Optional[FluidParams] = None,
+             config: Optional[SimConfig] = None) -> bool:
+        """Unconditional save (callers that step in chunks can't rely on
+        landing exactly on interval multiples — see utils.guard)."""
         save_checkpoint(os.path.join(self.root, f"step_{step:09d}"),
                         state, step, params, config)
         self._prune()

@@ -103,6 +103,23 @@ class StreamWriter:
             self._handle = lib.framepack_stream_open(
                 out_dir.encode(), name.encode(), n_particles,
                 1 if mode == "dfc" else 0, max_queue)
+            if not self._handle:
+                # NULL handle = the native open failed (e.g. the .dfc could
+                # not be created). Don't silently degrade to unbounded
+                # Python buffering — the caller believes memory is bounded,
+                # and for dfc the final fallback write will likely fail the
+                # same way, losing the whole run's frames.
+                import warnings
+
+                msg = (f"native stream open failed for {out_dir}/{name} "
+                       f"(mode={mode}); ")
+                if mode == "dfc":
+                    raise IOError(msg + "refusing to buffer the trajectory "
+                                  "in host memory (the close-time write "
+                                  "would likely fail too)")
+                warnings.warn(msg + "falling back to synchronous in-memory "
+                              "buffering — host memory is NOT bounded",
+                              RuntimeWarning, stacklevel=2)
 
     def append(self, positions: np.ndarray):
         frame = np.ascontiguousarray(positions, np.float32)

@@ -97,6 +97,7 @@ class GuardedRunner:
         self.checkpointer = checkpointer
         self.step_count = 0
         self.recoveries = 0
+        self._last_saved = 0
         self._snapshot: Tuple[FluidState, int] = (state, 0)
         self._check = jax.jit(health_check, static_argnames=("params",))
         self._chunk_cache = {}
@@ -154,9 +155,17 @@ class GuardedRunner:
                 self.step_count += n
                 done += n
                 self._snapshot = (candidate, self.step_count)
-                if self.checkpointer is not None:
-                    self.checkpointer.maybe_save(self.state, self.step_count,
-                                                 self.params)
+                if self.checkpointer is not None and (
+                    self.step_count - self._last_saved
+                    >= self.checkpointer.interval
+                ):
+                    # Chunked stepping rarely lands on exact interval
+                    # multiples, so save by steps-since-last-save, not by
+                    # step % interval (which silently never fires unless
+                    # interval divides the chunk size).
+                    self.checkpointer.save(self.state, self.step_count,
+                                           self.params)
+                    self._last_saved = self.step_count
                 continue
             if self.recoveries >= self.max_retries:
                 raise SimulationDiverged(failure, rep, self.step_count)

@@ -59,6 +59,34 @@ class TestDenseLayout:
         assert int(overflow) + int(np.asarray(valid).sum()) == s.n
 
 
+class TestOverflowFallback:
+    def test_pcisph_overflowed_particles_get_gravity_only(self, setup):
+        """An overflowed particle's clamped slot aliases a VALID neighbor's
+        slot; every gather must mask it out so it falls back to rho=d0 and
+        gravity-only force — NOT the neighbor's physics (round-2 weak #4)."""
+        from dieselfluid_tpu.solvers.dense_step import dense_pcisph_step
+        from dieselfluid_tpu.solvers.pcisph import compute_pci_delta
+
+        params, s, spec = setup
+        tight = DenseCellSpec.for_domain((-1, -1, -1), (1, 1, 1), params.h,
+                                         capacity=2)
+        _, valid, overflow = dense_indices(s.pos, tight)
+        assert int(overflow) > 0, "test needs overflow to exercise the path"
+        delta = compute_pci_delta(params, 2.0 / 8 * 0.5)
+        with pltpu.force_tpu_interpret_mode():
+            nxt, diag = dense_pcisph_step(s, params, tight, delta,
+                                          bounds=None)
+        assert int(diag.overflow) == int(overflow)
+        inval = ~np.asarray(valid)
+        gravity = np.asarray(params.gravity, np.float32) * params.mass
+        np.testing.assert_allclose(np.asarray(nxt.density)[inval], params.d0,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(nxt.force)[inval],
+                                   np.broadcast_to(gravity, (inval.sum(), 3)),
+                                   atol=1e-6)
+        assert np.isfinite(np.asarray(nxt.pos)).all()
+
+
 class TestGradients:
     """The Pallas path's custom VJP vs the XLA gather path's autodiff.
 

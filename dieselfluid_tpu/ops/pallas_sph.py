@@ -250,7 +250,10 @@ def _mask_where(mask_plane, value_plane):
 _D_IN = ("x", "y", "z", "mask")
 
 
-def _density_pair(k: KernelCoeffs, mass: float):
+def _density_pair(k: KernelCoeffs):
+    """MASS-FREE kernel sum: the mass scale is applied OUTSIDE the sweep
+    (density_planes), so `mass` can be a traced Materials scalar and its
+    gradient flows through plain XLA (round-2 verdict, next-step #2)."""
     a_w, h2 = float(k.a), float(k.h) ** 2
 
     def pair(own, cand):
@@ -260,38 +263,44 @@ def _density_pair(k: KernelCoeffs, mass: float):
         d2 = dx * dx + dy * dy + dz * dz
         q = 1.0 - d2 / h2
         w = jnp.where(d2 < h2, a_w * q * q, 0.0) * cand["mask"]
-        return (mass * w,)
+        return (w,)
 
     return pair
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def density_planes(planes: Dict[str, jnp.ndarray], spec: DenseCellSpec,
-                   k: KernelCoeffs, mass: float) -> jnp.ndarray:
-    """rho plane (rows, sub, 128) from x/y/z/mask planes. Differentiable
-    w.r.t. the position planes (capability of pcisph.h particle_density,
-    plus the autodiff the reference never had)."""
-    (rho,) = _sweep(_density_pair(k, mass), _D_IN,
-                    1, [planes[n] for n in _D_IN], spec)
-    return _mask_where(planes["mask"], rho)
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _density_sum(planes: Dict[str, jnp.ndarray], spec: DenseCellSpec,
+                 k: KernelCoeffs) -> jnp.ndarray:
+    (s,) = _sweep(_density_pair(k), _D_IN,
+                  1, [planes[n] for n in _D_IN], spec)
+    return _mask_where(planes["mask"], s)
 
 
-def _density_fwd(planes, spec, k, mass):
-    return density_planes(planes, spec, k, mass), planes
+def _density_sum_fwd(planes, spec, k):
+    return _density_sum(planes, spec, k), planes
 
 
-def _density_bwd(spec, k, mass, planes, ct):
+def _density_sum_bwd(spec, k, planes, ct):
     ct = _mask_where(planes["mask"], ct)
     names = _D_IN + ("ct_0",)
     ins = [planes[n] for n in _D_IN] + [ct]
-    grads = _sweep(_bwd_pair(_density_pair(k, mass), 1, ("x", "y", "z")),
+    grads = _sweep(_bwd_pair(_density_pair(k), 1, ("x", "y", "z")),
                    names, 3, ins, spec)
     out = {n: _mask_where(planes["mask"], g)
            for n, g in zip(("x", "y", "z"), grads)}
     return ({n: out.get(n, jnp.zeros_like(v)) for n, v in planes.items()},)
 
 
-density_planes.defvjp(_density_fwd, _density_bwd)
+_density_sum.defvjp(_density_sum_fwd, _density_sum_bwd)
+
+
+def density_planes(planes: Dict[str, jnp.ndarray], spec: DenseCellSpec,
+                   k: KernelCoeffs, mass) -> jnp.ndarray:
+    """rho plane (rows, sub, 128) from x/y/z/mask planes. Differentiable
+    w.r.t. the position planes AND `mass` (which may be a traced scalar —
+    capability of pcisph.h particle_density, plus the autodiff the reference
+    never had)."""
+    return mass * _density_sum(planes, spec, k)
 
 
 # ---------------------------------------------------------------------------
@@ -379,3 +388,151 @@ def _force_bwd(spec, k, mass, mu, res, cts):
 
 
 force_planes.defvjp(_force_fwd, _force_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Factored force sums — traced-material path
+# ---------------------------------------------------------------------------
+#
+# The fused force kernel above bakes mass/mu as compile-time constants (fast
+# path for the static-params WCSPH step). These two ops factor the scalars
+# OUT of the pair functions — pressure sum lacks the mass^2, viscosity sum
+# lacks the mu*mass — so the public wrappers can apply them as plain XLA
+# multiplies and Materials gradients (mass, mu) flow with no extra kernel
+# machinery. A dedicated viscosity sweep is also cheaper than the old trick
+# of running the fused kernel against a zero pressure plane (which paid the
+# full pressure math for all-zero output).
+
+_P_IN = ("x", "y", "z", "mask", "rho", "press")
+_P_GRAD = ("x", "y", "z", "rho", "press")
+
+
+def _press_pair(k: KernelCoeffs):
+    h, b_w = float(k.h), float(k.b)
+    h2 = h * h
+
+    def pair(own, cand):
+        dx = cand["x"] - own["x"]
+        dy = cand["y"] - own["y"]
+        dz = cand["z"] - own["z"]
+        d2 = dx * dx + dy * dy + dz * dz
+        live = (d2 > _EPS) & (d2 < h2) & (cand["mask"] > 0)
+        inv_d = jax.lax.rsqrt(jnp.where(live, d2, 1.0))
+        dist = d2 * inv_d
+        rho_i = jnp.maximum(own["rho"], _EPS)
+        rho_j = jnp.maximum(cand["rho"], _EPS)
+        q1 = 1.0 - dist / h
+        o1d = b_w * q1 * q1
+        coeff = own["press"] / (rho_i * rho_i) + cand["press"] / (rho_j * rho_j)
+        s_p = jnp.where(live, coeff * o1d * inv_d, 0.0)
+        return (s_p * dx, s_p * dy, s_p * dz)
+
+    return pair
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _press_sum(planes, rho_plane, press_plane, spec: DenseCellSpec,
+               k: KernelCoeffs):
+    ins = dict(planes)
+    ins["rho"], ins["press"] = rho_plane, press_plane
+    fx, fy, fz = _sweep(_press_pair(k), _P_IN, 3,
+                        [ins[n] for n in _P_IN], spec)
+    m = planes["mask"]
+    return _mask_where(m, fx), _mask_where(m, fy), _mask_where(m, fz)
+
+
+def _press_sum_fwd(planes, rho_plane, press_plane, spec, k):
+    out = _press_sum(planes, rho_plane, press_plane, spec, k)
+    return out, (planes, rho_plane, press_plane)
+
+
+def _press_sum_bwd(spec, k, res, cts):
+    planes, rho_plane, press_plane = res
+    m = planes["mask"]
+    ins = dict(planes)
+    ins["rho"], ins["press"] = rho_plane, press_plane
+    names = _P_IN + ("ct_0", "ct_1", "ct_2")
+    arrs = [ins[n] for n in _P_IN] + [_mask_where(m, c) for c in cts]
+    grads = _sweep(_bwd_pair(_press_pair(k), 3, _P_GRAD),
+                   names, len(_P_GRAD), arrs, spec)
+    g = {n: _mask_where(m, gr) for n, gr in zip(_P_GRAD, grads)}
+    d_planes = {n: g.get(n, jnp.zeros_like(v)) for n, v in planes.items()}
+    return (d_planes, g["rho"], g["press"])
+
+
+_press_sum.defvjp(_press_sum_fwd, _press_sum_bwd)
+
+
+def pressure_force_planes(planes, rho_plane, press_plane, spec: DenseCellSpec,
+                          k: KernelCoeffs, mass):
+    """Symmetric pressure force (pcisph.h pressure_force capability) with the
+    mass^2 scale applied outside the kernel — `mass` may be traced."""
+    fx, fy, fz = _press_sum(planes, rho_plane, press_plane, spec, k)
+    m2 = mass * mass
+    return m2 * fx, m2 * fy, m2 * fz
+
+
+_V_IN = ("x", "y", "z", "vx", "vy", "vz", "mask", "rho")
+_V_GRAD = ("x", "y", "z", "vx", "vy", "vz", "rho")
+
+
+def _visc_pair(k: KernelCoeffs):
+    h, c_w = float(k.h), float(k.c)
+    h2 = h * h
+
+    def pair(own, cand):
+        dx = cand["x"] - own["x"]
+        dy = cand["y"] - own["y"]
+        dz = cand["z"] - own["z"]
+        d2 = dx * dx + dy * dy + dz * dz
+        live = (d2 > _EPS) & (d2 < h2) & (cand["mask"] > 0)
+        inv_d = jax.lax.rsqrt(jnp.where(live, d2, 1.0))
+        dist = d2 * inv_d
+        rho_j = jnp.maximum(cand["rho"], _EPS)
+        o2d = c_w * (1.0 - dist / h)
+        s_v = jnp.where(live, o2d / rho_j, 0.0)
+        return (s_v * (cand["vx"] - own["vx"]),
+                s_v * (cand["vy"] - own["vy"]),
+                s_v * (cand["vz"] - own["vz"]))
+
+    return pair
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _visc_sum(planes, rho_plane, spec: DenseCellSpec, k: KernelCoeffs):
+    ins = dict(planes)
+    ins["rho"] = rho_plane
+    fx, fy, fz = _sweep(_visc_pair(k), _V_IN, 3,
+                        [ins[n] for n in _V_IN], spec)
+    m = planes["mask"]
+    return _mask_where(m, fx), _mask_where(m, fy), _mask_where(m, fz)
+
+
+def _visc_sum_fwd(planes, rho_plane, spec, k):
+    return _visc_sum(planes, rho_plane, spec, k), (planes, rho_plane)
+
+
+def _visc_sum_bwd(spec, k, res, cts):
+    planes, rho_plane = res
+    m = planes["mask"]
+    ins = dict(planes)
+    ins["rho"] = rho_plane
+    names = _V_IN + ("ct_0", "ct_1", "ct_2")
+    arrs = [ins[n] for n in _V_IN] + [_mask_where(m, c) for c in cts]
+    grads = _sweep(_bwd_pair(_visc_pair(k), 3, _V_GRAD),
+                   names, len(_V_GRAD), arrs, spec)
+    g = {n: _mask_where(m, gr) for n, gr in zip(_V_GRAD, grads)}
+    d_planes = {n: g.get(n, jnp.zeros_like(v)) for n, v in planes.items()}
+    return (d_planes, g["rho"])
+
+
+_visc_sum.defvjp(_visc_sum_fwd, _visc_sum_bwd)
+
+
+def viscosity_force_planes(planes, rho_plane, spec: DenseCellSpec,
+                           k: KernelCoeffs, mass, mu):
+    """Laplacian viscosity force (pcisph.h viscosity_force capability) with
+    the mu*mass scale applied outside — both may be traced scalars."""
+    fx, fy, fz = _visc_sum(planes, rho_plane, spec, k)
+    s = mu * mass
+    return s * fx, s * fy, s * fz

@@ -25,9 +25,24 @@ from dieselfluid_tpu.ops.cellops import (
     gather_plane,
     gather_planes,
 )
-from dieselfluid_tpu.ops.pallas_sph import density_planes, force_planes
+from dieselfluid_tpu.ops.pallas_sph import (
+    density_planes,
+    force_planes,
+    pressure_force_planes,
+    viscosity_force_planes,
+)
 from dieselfluid_tpu.ops.smoothing import KernelCoeffs, tait_eos
 from dieselfluid_tpu.solvers.integrate import StepDiagnostics, box_collide, semi_implicit_euler
+
+
+def _material_scalars(params: FluidParams, materials):
+    """(mass, mu, d0, gamma, w) — traced Materials overrides when given
+    (mirrors solvers.wcsph.compute_forces), static FluidParams otherwise."""
+    if materials is None:
+        return (params.mass, params.mu, params.d0, params.tait_gamma,
+                params.tait_w)
+    return (materials.mass, materials.mu, materials.d0,
+            materials.tait_gamma, materials.tait_w)
 
 
 def _boundary_extended(state: FluidState):
@@ -42,16 +57,19 @@ def _boundary_extended(state: FluidState):
 
 
 def dense_density_forces(state: FluidState, params: FluidParams,
-                         spec: DenseCellSpec):
+                         spec: DenseCellSpec, materials=None):
     """(rho, pressure, force, overflow) for the current positions, fluid
     particles only ([:n]); boundary particles (state.boundary_pos) join the
     dense planes as frozen fluid sources.
 
-    Note: the Pallas kernels bake mass/mu/h as compile-time constants, so
-    traced Materials overrides are not supported on this path — use the XLA
-    gather path (solvers.wcsph) when differentiating material parameters.
+    `materials` (models.materials.Materials) optionally supplies traced
+    mass/mu/d0/gamma/w: the geometry scalars stay baked in the kernels, but
+    every material scale is applied outside the sweeps (factored kernels),
+    so Materials gradients flow on this production path too. With materials
+    the force runs as two factored sweeps (pressure + viscosity) instead of
+    the fused one.
     """
-    d0, gamma, w = params.d0, params.tait_gamma, params.tait_w
+    mass, mu, d0, gamma, w = _material_scalars(params, materials)
     n = state.pos.shape[0]
     pos, vel = _boundary_extended(state)
 
@@ -62,14 +80,21 @@ def dense_density_forces(state: FluidState, params: FluidParams,
         flat, valid, spec,
     )
     k = KernelCoeffs.build(params.h)
-    rho_plane = density_planes(planes, spec, k, params.mass)
+    rho_plane = density_planes(planes, spec, k, mass)
     press_plane = jnp.where(
         planes["mask"] > 0,
         tait_eos(rho_plane, d0, params.p0, gamma, w),
         0.0,
     )
-    fx_p, fy_p, fz_p = force_planes(planes, rho_plane, press_plane, spec, k,
-                                    params.mass, float(params.mu))
+    if materials is None:
+        fx_p, fy_p, fz_p = force_planes(planes, rho_plane, press_plane, spec,
+                                        k, params.mass, float(params.mu))
+    else:
+        px, py, pz = pressure_force_planes(planes, rho_plane, press_plane,
+                                           spec, k, mass)
+        vx, vy, vz = viscosity_force_planes(planes, rho_plane, spec, k,
+                                            mass, mu)
+        fx_p, fy_p, fz_p = px + vx, py + vy, pz + vz
 
     flat_f, valid_f = flat[:n], valid[:n]
     out = gather_planes([rho_plane, press_plane, fx_p, fy_p, fz_p], flat_f)
@@ -89,13 +114,18 @@ def dense_wcsph_step(
     spec: DenseCellSpec,
     bounds: Optional[Tuple] = ((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0)),
     collider=None,
+    materials=None,
 ) -> Tuple[FluidState, StepDiagnostics]:
     """One WCSPH frame on the Pallas pipeline. diag.overflow reports dropped
-    particles (cell-capacity) — nonzero means resize the spec's capacity."""
-    rho, pressure, f, overflow = dense_density_forces(state, params, spec)
-    gravity = jnp.asarray(params.gravity, jnp.float32) * params.mass
+    particles (cell-capacity) — nonzero means resize the spec's capacity.
+    `materials` enables traced material-parameter gradients (see
+    dense_density_forces)."""
+    mass = params.mass if materials is None else materials.mass
+    rho, pressure, f, overflow = dense_density_forces(state, params, spec,
+                                                      materials)
+    gravity = jnp.asarray(params.gravity, jnp.float32) * mass
     state = state._replace(density=rho, pressure=pressure, force=gravity + f)
-    state, diag = semi_implicit_euler(state, params)
+    state, diag = semi_implicit_euler(state, params, mass=mass)
     diag = diag._replace(overflow=overflow)
     if bounds is not None:
         state = box_collide(state, *bounds)
@@ -106,7 +136,8 @@ def dense_wcsph_step(
     return state, diag
 
 
-@partial(jax.jit, static_argnames=("params", "spec", "delta", "bounds"))
+@partial(jax.jit, static_argnames=("params", "spec", "delta", "bounds",
+                                   "unroll_for_grad"))
 def dense_pcisph_step(
     state: FluidState,
     params: FluidParams,
@@ -114,6 +145,8 @@ def dense_pcisph_step(
     delta: float,
     bounds: Optional[Tuple] = ((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0)),
     collider=None,
+    materials=None,
+    unroll_for_grad: bool = False,
 ) -> Tuple[FluidState, StepDiagnostics]:
     """One PCISPH frame on the Pallas pipeline.
 
@@ -122,9 +155,16 @@ def dense_pcisph_step(
     correction iteration — the dense-layout analog of the reference's frozen
     LSH sampler within a frame (ref: solver/pcisph/pcisph_darwin.go keeps its
     table until the next SAMPLER_UPDATE).
+
+    `materials` supplies traced mass/mu/d0 (material-parameter gradients on
+    the production path — BASELINE config 4). `unroll_for_grad=True` replaces
+    the correction while_loop with a fixed pci_max_iters scan so the step is
+    reverse-differentiable (lax.while_loop is not; mirror of
+    solvers.pcisph.pcisph_step_core).
     """
     from dieselfluid_tpu.solvers.pcisph import _Carry
 
+    mass, mu, d0, _, _ = _material_scalars(params, materials)
     k = KernelCoeffs.build(params.h)
     n = state.pos.shape[0]
     pos0, vel0 = _boundary_extended(state)
@@ -139,65 +179,63 @@ def dense_pcisph_step(
         )
 
     planes = planes_at(pos0, vel0)
-    rho_plane = density_planes(planes, spec, k, params.mass)
+    rho_plane = density_planes(planes, spec, k, mass)
     # Every gather below is sanitized with valid_f: an overflowed particle's
     # clamped `flat` aliases a VALID slot (cellops.dense_indices), so an
     # unmasked gather hands it a *neighbor's* density/pressure/force — wrong
     # physics, not degraded physics (round-2 verdict, weak #4). The fallback
     # here matches dense_density_forces: rho=d0, zero interaction force.
-    rho = jnp.where(valid_f, gather_plane(rho_plane, flat_f), params.d0)
-    # External forces: gravity + viscosity at the unpredicted state (zero
-    # pressure plane -> force kernel yields viscosity only).
-    zero_press = jnp.zeros(spec.plane_shape, jnp.float32)
-    vx_p, vy_p, vz_p = force_planes(planes, rho_plane, zero_press, spec, k,
-                                    params.mass, float(params.mu))
+    rho = jnp.where(valid_f, gather_plane(rho_plane, flat_f), d0)
+    # External forces: gravity + viscosity at the unpredicted state, via the
+    # dedicated factored viscosity sweep (cheaper than the old fused kernel
+    # against a zero pressure plane, and mu/mass may be traced).
+    vx_p, vy_p, vz_p = viscosity_force_planes(planes, rho_plane, spec, k,
+                                              mass, mu)
     visc = jnp.where(valid_f[:, None],
                      gather_planes([vx_p, vy_p, vz_p], flat_f), 0.0)
-    gravity = jnp.asarray(params.gravity, jnp.float32) * params.mass
+    gravity = jnp.asarray(params.gravity, jnp.float32) * mass
     ext_force = gravity + visc
 
-    def scatter(values_f, boundary_value=0.0):
+    def scatter(values_f, boundary_value=None):
         """Per-fluid values -> plane; boundary slots get boundary_value."""
         out = jnp.zeros(spec.rows * spec.row_len, jnp.float32).at[
             jnp.where(valid_f, flat_f, 0)
         ].add(jnp.where(valid_f, values_f, 0.0))
-        if state.boundary_pos is not None and boundary_value != 0.0:
+        if state.boundary_pos is not None and boundary_value is not None:
             flat_b, valid_b = flat[n:], valid[n:]
             out = out.at[jnp.where(valid_b, flat_b, 0)].add(
                 jnp.where(valid_b, boundary_value, 0.0))
         return out.reshape(spec.plane_shape)
 
     def body(c):
-        accel = (ext_force + c.f_p) / params.mass
+        accel = (ext_force + c.f_p) / mass
         vel_star = state.vel + accel * params.dt
         pos_star = state.pos + vel_star * params.dt
         if state.boundary_pos is not None:
             pos_ext = jnp.concatenate([pos_star, state.boundary_pos], axis=0)
-            vel_ext = jnp.concatenate(
-                [vel_star, jnp.zeros_like(state.boundary_pos)], axis=0)
         else:
-            pos_ext, vel_ext = pos_star, vel_star
+            pos_ext = pos_star
         # Density at the predicted positions needs positions only (3-channel
-        # scatter); the correction force runs the pressure-only kernel
-        # (mu=0), so neither pass touches velocity planes.
+        # scatter); the correction force runs the pressure-only kernel,
+        # so neither pass touches velocity planes.
         p_star = build_planes(
             {"x": pos_ext[:, 0], "y": pos_ext[:, 1], "z": pos_ext[:, 2]},
             flat, valid, spec)
-        rho_star_plane = density_planes(p_star, spec, k, params.mass)
+        rho_star_plane = density_planes(p_star, spec, k, mass)
         rho_star = jnp.where(valid_f, gather_plane(rho_star_plane, flat_f),
-                             params.d0)
-        err = rho_star - params.d0
+                             d0)
+        err = rho_star - d0
         pressure = jnp.maximum(c.pressure + delta * err, 0.0)
         # Boundary slots: zero pressure (they only receive the p_i-side of
         # the symmetric term), rest density for the rho_j divisor.
         press_plane = scatter(pressure)
-        rho_for_force = jnp.maximum(rho_star, 0.5 * params.d0)
-        rff_plane = scatter(rho_for_force, boundary_value=params.d0)
-        fx_p, fy_p, fz_p = force_planes(planes, rff_plane, press_plane, spec, k,
-                                        params.mass, 0.0)
+        rho_for_force = jnp.maximum(rho_star, 0.5 * d0)
+        rff_plane = scatter(rho_for_force, boundary_value=d0)
+        fx_p, fy_p, fz_p = pressure_force_planes(planes, rff_plane,
+                                                 press_plane, spec, k, mass)
         f_p = jnp.where(valid_f[:, None],
                         gather_planes([fx_p, fy_p, fz_p], flat_f), 0.0)
-        max_ratio = jnp.max(err) / params.d0
+        max_ratio = jnp.max(err) / d0
         return _Carry(c.it + 1, max_ratio, pressure, f_p)
 
     # Warm start (ref parity: pcisph_darwin.go:86 accumulates onto the
@@ -205,13 +243,20 @@ def dense_pcisph_step(
     init = _Carry(it=jnp.int32(0), err=jnp.float32(jnp.inf),
                   pressure=state.pressure,
                   f_p=jnp.zeros_like(state.force))
-    cond = lambda c: (c.it < params.pci_max_iters) & (
-        c.err > params.pci_max_density_error_ratio)
-    carry = jax.lax.while_loop(cond, body, init)
+    if unroll_for_grad:
+        def scan_body(c, _):
+            return body(c), None
+
+        carry, _ = jax.lax.scan(scan_body, init, None,
+                                length=params.pci_max_iters)
+    else:
+        cond = lambda c: (c.it < params.pci_max_iters) & (
+            c.err > params.pci_max_density_error_ratio)
+        carry = jax.lax.while_loop(cond, body, init)
 
     state = state._replace(density=rho, pressure=carry.pressure,
                            force=ext_force + carry.f_p)
-    state, diag = semi_implicit_euler(state, params)
+    state, diag = semi_implicit_euler(state, params, mass=mass)
     diag = diag._replace(overflow=overflow)
     if bounds is not None:
         state = box_collide(state, *bounds)

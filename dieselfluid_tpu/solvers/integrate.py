@@ -26,21 +26,25 @@ class StepDiagnostics(NamedTuple):
 
 
 def semi_implicit_euler(
-    state: FluidState, params: FluidParams
+    state: FluidState, params: FluidParams, mass=None
 ) -> Tuple[FluidState, StepDiagnostics]:
     """Symplectic Euler update + force/pressure reset.
 
     ref: model/sph/fluid.go Update:175-197 — a = F/m; v += a dt; x += v dt;
     then pressure := 0 and force := gravity * mass for the next frame.
+
+    `mass` optionally overrides params.mass with a traced Materials scalar so
+    d(step)/d(mass) is complete when the force path traces mass too.
     """
-    a = state.force / params.mass
+    m = params.mass if mass is None else mass
+    a = state.force / m
     vel = state.vel + a * params.dt
     pos = state.pos + vel * params.dt
     diag = StepDiagnostics(
         max_vel=jnp.max(jnp.linalg.norm(vel, axis=-1)),
         max_force=jnp.max(jnp.linalg.norm(state.force, axis=-1)),
     )
-    gravity_force = jnp.asarray(params.gravity, jnp.float32) * params.mass
+    gravity_force = jnp.asarray(params.gravity, jnp.float32) * m
     new = state._replace(
         pos=pos,
         vel=vel,

@@ -88,9 +88,10 @@ class _Carry(NamedTuple):
 
 
 def _pressure_iteration(state, nb, params, delta, ext_force, carry: _Carry,
-                        frozen=None):
+                        frozen=None, d0=None):
     """One predict-correct iteration (physical form). `frozen` (bool mask)
     pins boundary particles: they never move in the prediction."""
+    d0 = params.d0 if d0 is None else d0
     accel = (ext_force + carry.f_p) / params.mass
     vel_star = state.vel + accel * params.dt
     if frozen is not None:
@@ -100,11 +101,11 @@ def _pressure_iteration(state, nb, params, delta, ext_force, carry: _Carry,
     # its LSH table frozen within a frame too) but distances at predicted pos;
     # self term included for consistency with the calibrated d0.
     rho_star = F.density_with_self(pos_star, nb, params)
-    err = rho_star - params.d0
+    err = rho_star - d0
     pressure = jnp.maximum(carry.pressure + delta * err, 0.0)
-    rho_for_force = jnp.maximum(rho_star, 0.5 * params.d0)
+    rho_for_force = jnp.maximum(rho_star, 0.5 * d0)
     f_p = F.pressure_force(state.pos, rho_for_force, pressure, nb, params)
-    max_ratio = jnp.max(err) / params.d0
+    max_ratio = jnp.max(err) / d0
     return _Carry(carry.it + 1, max_ratio, pressure, f_p)
 
 
@@ -115,10 +116,16 @@ def pcisph_step_core(
     delta: float,
     unroll_for_grad: bool = False,
     frozen=None,
+    materials=None,
 ):
-    """Density + viscosity + gravity, then the pressure-projection loop."""
+    """Density + viscosity + gravity, then the pressure-projection loop.
+
+    `materials` optionally supplies traced mu/d0 (mass stays baked in the
+    field operators — same contract as wcsph.compute_forces)."""
+    mu = params.mu if materials is None else materials.mu
+    d0 = params.d0 if materials is None else materials.d0
     rho = F.density_with_self(state.pos, nb, params)
-    visc = params.mu * F.laplacian_force(state.pos, state.vel, rho, nb, params)
+    visc = mu * F.laplacian_force(state.pos, state.vel, rho, nb, params)
     gravity = jnp.asarray(params.gravity, jnp.float32) * params.mass
     ext_force = gravity + visc
 
@@ -135,7 +142,7 @@ def pcisph_step_core(
     )
 
     body = lambda c: _pressure_iteration(state, nb, params, delta, ext_force,
-                                         c, frozen)
+                                         c, frozen, d0=d0)
 
     if unroll_for_grad:
         # Reverse-mode-safe: fixed pci_max_iters iterations via scan.
@@ -162,10 +169,12 @@ def pcisph_step(
     bounds: Optional[Tuple] = ((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0)),
     unroll_for_grad: bool = False,
     collider=None,
+    materials=None,
 ) -> Tuple[FluidState, StepDiagnostics]:
     """One PCISPH frame (BASELINE config 2 driver). Boundary particles in
     `state.boundary_pos` join the correction loop as frozen fluid; `collider`
-    adds mesh narrow-phase response (see wcsph_step)."""
+    adds mesh narrow-phase response (see wcsph_step); `materials` supplies
+    traced mu/d0 for material-parameter gradients."""
     from dieselfluid_tpu.solvers.wcsph import (
         _slice_fluid,
         default_neighbor_fn,
@@ -179,11 +188,12 @@ def pcisph_step(
         frozen = jnp.arange(ext.pos.shape[0]) >= n
         nb = nfn(ext.pos)
         ext, _ = pcisph_step_core(ext, nb, params, delta, unroll_for_grad,
-                                  frozen=frozen)
+                                  frozen=frozen, materials=materials)
         state = _slice_fluid(ext, n, state)
     else:
         nb = nfn(state.pos)
-        state, _ = pcisph_step_core(state, nb, params, delta, unroll_for_grad)
+        state, _ = pcisph_step_core(state, nb, params, delta, unroll_for_grad,
+                                    materials=materials)
     state, diag = semi_implicit_euler(state, params)
     if bounds is not None:
         state = box_collide(state, *bounds)

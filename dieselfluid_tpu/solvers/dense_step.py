@@ -257,7 +257,7 @@ def dense_pcisph_step(
     state = state._replace(density=rho, pressure=carry.pressure,
                            force=ext_force + carry.f_p)
     state, diag = semi_implicit_euler(state, params, mass=mass)
-    diag = diag._replace(overflow=overflow)
+    diag = diag._replace(overflow=overflow, iters=carry.it)
     if bounds is not None:
         state = box_collide(state, *bounds)
     if collider is not None:

@@ -23,6 +23,7 @@ class StepDiagnostics(NamedTuple):
     max_vel: jnp.ndarray
     max_force: jnp.ndarray
     overflow: jnp.ndarray = 0  # jnp.int32 scalar when set by a solver
+    iters: jnp.ndarray = 0     # PCISPH correction iterations taken this step
 
 
 def semi_implicit_euler(

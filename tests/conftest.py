@@ -14,5 +14,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("DSLTPU_HW") != "1":
+    # Default: virtual 8-device CPU mesh, runs anywhere. DSLTPU_HW=1 keeps
+    # the real TPU backend for the hardware-gated tests
+    # (tests/test_tpu_hardware.py); everything else should be run separately.
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,107 @@
+"""Hardware-gated tests: the dense Pallas pipeline ON A REAL TPU.
+
+Interpret-mode green is not hardware green (round-1 and round-2 verdicts:
+the forward faulted in round 1, the backward OOM'd in round 2 — both with
+interpret-mode tests passing). These tests compile and run the compiled
+kernels, forward AND backward, on the actual chip.
+
+Run with:  DSLTPU_HW=1 python -m pytest tests/test_tpu_hardware.py -v
+(as a background task over the axon tunnel — see
+.claude/skills/verify/SKILL.md). The default CPU-forced test run skips them.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+requires_tpu = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="needs real TPU hardware (run with DSLTPU_HW=1)",
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    from dieselfluid_tpu.config import FluidParams
+    from dieselfluid_tpu.models.particles import dam_break_state
+    from dieselfluid_tpu.ops.cellops import DenseCellSpec
+
+    n3, extent = 8, 0.5
+    dx = (2.0 / n3) * extent
+    params = FluidParams.for_spacing(dx)
+    s = dam_break_state(n3, params, extent=extent)
+    key = jax.random.PRNGKey(0)
+    s = s._replace(vel=jax.random.normal(key, s.vel.shape) * 0.1)
+    params = params.replace(d0=float(1.1 * params.d0))
+    spec = DenseCellSpec.for_domain((-1, -1, -1), (1, 1, 1), params.h,
+                                    capacity=16)
+    return params, s, spec
+
+
+@requires_tpu
+class TestCompiledKernels:
+    def test_wcsph_forward_matches_oracle(self, setup):
+        from dieselfluid_tpu.models import field as F
+        from dieselfluid_tpu.neighbors.bruteforce import brute_force_neighborhood
+        from dieselfluid_tpu.solvers.dense_step import dense_density_forces
+
+        params, s, spec = setup
+        rho, press, force, ovf = jax.jit(
+            lambda st: dense_density_forces(st, params, spec))(s)
+        nb = brute_force_neighborhood(s.pos, s.pos, params.h, 96)
+        rho_o = np.asarray(F.density_with_self(s.pos, nb, params))
+        np.testing.assert_allclose(np.asarray(rho), rho_o, rtol=1e-4)
+
+    def test_wcsph_grad_matches_xla_path(self, setup):
+        """The round-2 flagship gap: the COMPILED backward on hardware,
+        pinned against the XLA gather path's autodiff."""
+        from dieselfluid_tpu.neighbors.bruteforce import brute_force_neighborhood
+        from dieselfluid_tpu.solvers.dense_step import dense_wcsph_step
+        from dieselfluid_tpu.solvers.wcsph import wcsph_step
+
+        params, s, spec = setup
+        key = jax.random.PRNGKey(7)
+        w_pos = jax.random.normal(key, s.pos.shape)
+
+        def loss_dense(pos, vel):
+            st = s._replace(pos=pos, vel=vel)
+            nxt, _ = dense_wcsph_step(st, params, spec)
+            return jnp.sum(nxt.pos * w_pos) + jnp.sum(nxt.vel**2)
+
+        def loss_xla(pos, vel):
+            st = s._replace(pos=pos, vel=vel)
+            nfn = lambda p: brute_force_neighborhood(p, p, params.h, 96)
+            nxt, _ = wcsph_step(st, params, neighbor_fn=nfn)
+            return jnp.sum(nxt.pos * w_pos) + jnp.sum(nxt.vel**2)
+
+        gp_d, gv_d = jax.jit(jax.grad(loss_dense, argnums=(0, 1)))(s.pos, s.vel)
+        gp_x, gv_x = jax.jit(jax.grad(loss_xla, argnums=(0, 1)))(s.pos, s.vel)
+        scale = float(jnp.abs(gp_x).max())
+        np.testing.assert_allclose(np.asarray(gp_d) / scale,
+                                   np.asarray(gp_x) / scale, atol=2e-4)
+        vscale = float(jnp.abs(gv_x).max())
+        np.testing.assert_allclose(np.asarray(gv_d) / vscale,
+                                   np.asarray(gv_x) / vscale, atol=2e-4)
+
+    def test_pcisph_materials_grad_finite(self, setup):
+        """Compiled reverse-mode through the PCISPH correction scan with
+        traced materials, on hardware."""
+        from dieselfluid_tpu.models.materials import Materials
+        from dieselfluid_tpu.solvers.dense_step import dense_pcisph_step
+        from dieselfluid_tpu.solvers.pcisph import compute_pci_delta
+
+        params, s, spec = setup
+        mats = Materials.from_params(params)
+        delta = compute_pci_delta(params, 2.0 / 8 * 0.5)
+
+        def loss(m):
+            nxt, _ = dense_pcisph_step(s, params, spec, delta, materials=m,
+                                       unroll_for_grad=True)
+            return jnp.sum(nxt.pos**2)
+
+        g = jax.jit(jax.grad(loss))(mats)
+        for f in ("mu", "d0", "mass"):
+            v = float(getattr(g, f))
+            assert np.isfinite(v), (f, v)
+        assert float(g.mu) != 0.0

@@ -38,3 +38,26 @@ def calibrate_rest_density(pos: jnp.ndarray, params: FluidParams,
     # Rescale Tait stiffness with d0 so the sound speed c = sqrt(w/d0) the
     # params were built with is preserved.
     return params.replace(d0=d0, tait_w=params.tait_w * d0 / params.d0)
+
+
+def lattice_rest_density(dx: float, params: FluidParams) -> FluidParams:
+    """calibrate_rest_density for a cubic lattice of spacing dx, computed on
+    an O(1) offset template instead of an O(N*k) neighborhood — usable at 1M+
+    particles where the brute-force probe cannot run. Interior particles of
+    such a lattice see exactly this summation density, so the fluid starts at
+    equilibrium (a d0 above it makes the WHOLE column compress until the
+    densest cells overflow any capacity — the round-2 PCISPH bench's 1.1x
+    inflation did exactly that)."""
+    import numpy as np
+
+    from dieselfluid_tpu.ops.smoothing import KernelCoeffs
+
+    k = KernelCoeffs.build(params.h)
+    r = int(np.ceil(params.h / dx))
+    axis = np.arange(-r, r + 1) * dx
+    gx, gy, gz = np.meshgrid(axis, axis, axis, indexing="ij")
+    d2 = gx ** 2 + gy ** 2 + gz ** 2
+    q = 1.0 - d2 / (k.h * k.h)
+    w = np.where(d2 < k.h * k.h, k.a * q * q, 0.0)   # includes self (r=0)
+    d0 = float(params.mass * w.sum())
+    return params.replace(d0=d0, tait_w=params.tait_w * d0 / params.d0)

@@ -137,7 +137,7 @@ def dense_wcsph_step(
 
 
 @partial(jax.jit, static_argnames=("params", "spec", "delta", "bounds",
-                                   "unroll_for_grad"))
+                                   "unroll_for_grad", "warm_start"))
 def dense_pcisph_step(
     state: FluidState,
     params: FluidParams,
@@ -147,6 +147,7 @@ def dense_pcisph_step(
     collider=None,
     materials=None,
     unroll_for_grad: bool = False,
+    warm_start: bool = False,
 ) -> Tuple[FluidState, StepDiagnostics]:
     """One PCISPH frame on the Pallas pipeline.
 
@@ -160,7 +161,9 @@ def dense_pcisph_step(
     the production path — BASELINE config 4). `unroll_for_grad=True` replaces
     the correction while_loop with a fixed pci_max_iters scan so the step is
     reverse-differentiable (lax.while_loop is not; mirror of
-    solvers.pcisph.pcisph_step_core).
+    solvers.pcisph.pcisph_step_core). `warm_start=True` keeps the
+    accumulated pressure in the returned state so the next frame's loop
+    starts from it (see solvers.pcisph.pcisph_step).
     """
     from dieselfluid_tpu.solvers.pcisph import _Carry
 
@@ -238,8 +241,8 @@ def dense_pcisph_step(
         max_ratio = jnp.max(err) / d0
         return _Carry(c.it + 1, max_ratio, pressure, f_p)
 
-    # Warm start (ref parity: pcisph_darwin.go:86 accumulates onto the
-    # persistent pressure buffer; see solvers.pcisph.pcisph_step_core).
+    # Iteration zero accumulates onto state.pressure (cold-started by the
+    # integrator's reset unless warm_start keeps it — see pcisph_step_core).
     init = _Carry(it=jnp.int32(0), err=jnp.float32(jnp.inf),
                   pressure=state.pressure,
                   f_p=jnp.zeros_like(state.force))
@@ -257,6 +260,8 @@ def dense_pcisph_step(
     state = state._replace(density=rho, pressure=carry.pressure,
                            force=ext_force + carry.f_p)
     state, diag = semi_implicit_euler(state, params, mass=mass)
+    if warm_start:
+        state = state._replace(pressure=carry.pressure)
     diag = diag._replace(overflow=overflow, iters=carry.it)
     if bounds is not None:
         state = box_collide(state, *bounds)

@@ -129,11 +129,13 @@ def pcisph_step_core(
     gravity = jnp.asarray(params.gravity, jnp.float32) * params.mass
     ext_force = gravity + visc
 
-    # Warm start from last frame's pressures — the reference PERSISTS the
-    # pressure buffer across frames (ref: solver/pcisph/pcisph_darwin.go:86
-    # accumulates onto the aliased field.Pressures() slice; Update resets
-    # forces only, fluid.go:192). Also better physics: the settled pressure
-    # field needs fewer correction iterations than a cold zero start.
+    # Iteration zero accumulates onto state.pressure (ref: pcisph_darwin.go:86
+    # adds onto the aliased field.Pressures() slice). NOTE the reference's
+    # Update resets Press to 0 every frame (fluid.go:192 `particle.Press=0`),
+    # and so does semi_implicit_euler — so by default every frame COLD-starts,
+    # exactly like the reference. A caller opting into a cross-frame warm
+    # start (fewer correction iterations) keeps the accumulated pressure in
+    # the output state via `warm_start=True` on the step functions.
     init = _Carry(
         it=jnp.int32(0),
         err=jnp.float32(jnp.inf),
@@ -160,7 +162,8 @@ def pcisph_step_core(
     return state._replace(density=rho, pressure=carry.pressure, force=force), carry.err
 
 
-@partial(jax.jit, static_argnames=("params", "neighbor_fn", "delta", "bounds", "unroll_for_grad"))
+@partial(jax.jit, static_argnames=("params", "neighbor_fn", "delta", "bounds",
+                                   "unroll_for_grad", "warm_start"))
 def pcisph_step(
     state: FluidState,
     params: FluidParams,
@@ -170,11 +173,15 @@ def pcisph_step(
     unroll_for_grad: bool = False,
     collider=None,
     materials=None,
+    warm_start: bool = False,
 ) -> Tuple[FluidState, StepDiagnostics]:
     """One PCISPH frame (BASELINE config 2 driver). Boundary particles in
     `state.boundary_pos` join the correction loop as frozen fluid; `collider`
     adds mesh narrow-phase response (see wcsph_step); `materials` supplies
-    traced mu/d0 for material-parameter gradients."""
+    traced mu/d0 for material-parameter gradients. `warm_start=True` keeps
+    the accumulated pressure in the returned state (next frame's correction
+    loop starts from it — fewer iterations; deviates from the reference's
+    per-frame Press=0 reset, fluid.go:192)."""
     from dieselfluid_tpu.solvers.wcsph import (
         _slice_fluid,
         default_neighbor_fn,
@@ -194,7 +201,10 @@ def pcisph_step(
         nb = nfn(state.pos)
         state, _ = pcisph_step_core(state, nb, params, delta, unroll_for_grad,
                                     materials=materials)
+    accum_press = state.pressure
     state, diag = semi_implicit_euler(state, params)
+    if warm_start:
+        state = state._replace(pressure=accum_press)
     if bounds is not None:
         state = box_collide(state, *bounds)
     if collider is not None:

@@ -189,6 +189,65 @@ def bench_sim_render_fwd_bwd(n3: int = 80, frames: int = 3):
             "grad_norm_sq": gnorm}
 
 
+def bench_composite_1080p(n3: int = 80, frames: int = 3):
+    """Full composited frame at 1080p, fwd+bwd: 512k fluid splats LIT BY the
+    baked CIE sky cubemap, over a ray-traced floor+wall scene, soft depth
+    test, pixel loss, gradients to particle positions."""
+    import jax
+    import jax.numpy as jnp
+
+    from dieselfluid_tpu.config import FluidParams
+    from dieselfluid_tpu.models.particles import dam_break_state
+    from dieselfluid_tpu.render.camera import Camera
+    from dieselfluid_tpu.render.composite import render_composite
+    from dieselfluid_tpu.render.pbr import PBRMaterial
+    from dieselfluid_tpu.sky.bake import bake_sky_cubemap
+
+    extent = 0.5
+    dx = (2.0 / n3) * extent
+    params = FluidParams.for_spacing(dx)
+    state = dam_break_state(n3, params, extent=extent)
+
+    # Procedural scene: floor (y=-1) + back wall (z=1), 4 triangles.
+    v = np.asarray([
+        [-2, -1, -2], [2, -1, -2], [2, -1, 2],
+        [-2, -1, -2], [2, -1, 2], [-2, -1, 2],
+        [-2, -1, 1], [2, -1, 1], [2, 2, 1],
+        [-2, -1, 1], [2, 2, 1], [-2, 2, 1],
+    ], np.float32).reshape(4, 3, 3)
+    tris = jnp.asarray(v)
+    norms = jnp.asarray([[0, 1, 0], [0, 1, 0], [0, 0, -1], [0, 0, -1]],
+                        jnp.float32)
+    mats = jnp.zeros((4,), jnp.int32)
+    materials = jax.tree.map(
+        lambda leaf: leaf[None],
+        PBRMaterial.make(base_color=(0.55, 0.5, 0.45), metallic=0.05,
+                         roughness=0.7))
+    env = bake_sky_cubemap((0.3, 0.8, 0.5), size=48)
+    cam = Camera.at((0.0, 0.6, -2.8), front=(0.0, -0.35, 1.0),
+                    fov_deg=55.0, aspect=1920.0 / 1080.0)
+    target = jnp.zeros((1080, 1920, 3), jnp.float32)
+
+    def loss(pos):
+        img = render_composite(pos, dx * 0.7, cam, tris, norms, mats,
+                               materials, light_pos=(2.0, 3.0, -2.0),
+                               env_cube=env, width=1920, height=1080)
+        return jnp.sum((img.color - target) ** 2)
+
+    g = jax.jit(jax.grad(loss))
+    gv = g(state.pos)
+    gnorm = float(np.asarray(jnp.sum(gv * gv)))
+    assert np.isfinite(gnorm), gnorm
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        gv = g(state.pos)
+    float(np.asarray(jnp.sum(gv * gv)))
+    dt = time.perf_counter() - t0
+    return {"n": state.pos.shape[0], "frames": frames,
+            "fwd_bwd_ms_per_frame": dt / frames * 1e3,
+            "grad_norm_sq": gnorm}
+
+
 def bench_cellgrid_wcsph(n3: int = 16, steps: int = 20, k: int = 64):
     """Fallback: XLA cell-grid path (runs anywhere)."""
     import jax
@@ -246,6 +305,7 @@ def main():
         ("dense_pcisph_1m", bench_dense_pcisph, {"n3": 100, "steps": 40}),
         ("render_1080p_fwd_bwd", bench_render_1080p, {}),
         ("sim_render_512k_fwd_bwd_1080p", bench_sim_render_fwd_bwd, {}),
+        ("composite_1080p_fwd_bwd", bench_composite_1080p, {}),
     ):
         try:
             details[name] = fn(**kw)

@@ -35,7 +35,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="GLTF scene to composite the fluid into (ref: the "
                         "rendersystem's meshes+particles frame)")
     p.add_argument("--sky", action="store_true",
-                   help="bake an atmosphere cubemap as the environment light")
+                   help="bake an atmosphere cubemap as the environment light "
+                        "(lights the fluid splats and, with --gltf, the "
+                        "scene's miss/reflection rays)")
+    p.add_argument("--sun-dir", type=str, default="0.3,0.8,0.5",
+                   help="sun direction for --sky as 'x,y,z'")
+    p.add_argument("--sky-size", type=int, default=48,
+                   help="cubemap face resolution for --sky")
     p.add_argument("--render-every", type=int, default=5)
     p.add_argument("--size", type=int, default=384, help="render resolution")
     p.add_argument("--video", action="store_true", help="write mp4 from rendered frames")
@@ -87,6 +93,12 @@ def main(argv=None) -> int:
 
     render_frame = None
     if args.render:
+        env = None
+        if args.sky:
+            from dieselfluid_tpu.sky.bake import bake_sky_cubemap
+
+            sun = tuple(float(c) for c in args.sun_dir.split(","))
+            env = bake_sky_cubemap(sun, size=args.sky_size)
         if args.gltf:
             # Composited frame: fluid + ray-traced GLTF scene (+ sky).
             from dieselfluid_tpu.render.composite import render_composite
@@ -97,11 +109,6 @@ def main(argv=None) -> int:
             uvs = sc.triangle_uvs()
             textures, base_tex, norm_tex = sc.texture_stack()
             materials = sc.stacked_materials()
-            env = None
-            if args.sky:
-                from dieselfluid_tpu.sky.bake import bake_sky_cubemap
-
-                env = bake_sky_cubemap((0.3, 0.8, 0.5), size=48)
 
             def render_frame(pos):
                 return render_composite(
@@ -113,7 +120,8 @@ def main(argv=None) -> int:
         else:
             def render_frame(pos):
                 return splat_particles(pos, sim.dx * 0.7, cam,
-                                       args.size, args.size).color
+                                       args.size, args.size,
+                                       env_cube=env).color
 
     writer = AnimationWriter(args.out, name=f"{args.solver}_{args.n3}")
     stream = None

@@ -83,8 +83,11 @@ def render_composite(
         mat_normal_tex=mat_normal_tex,
     )
     # Splat background = black with zero alpha; composite supplies the scene.
+    # The sky cubemap lights the FLUID too (env diffuse + reflection in
+    # splat_particles), not just the raytracer's miss/reflection rays.
     fluid = splat_particles(pos, radius, cam, width=width, height=height,
-                            colors=colors, background=(0.0, 0.0, 0.0))
+                            colors=colors, background=(0.0, 0.0, 0.0),
+                            env_cube=env_cube)
     _, dirs = cam.pixel_rays(width, height)
     dirs_z = jnp.sum(dirs * cam.front, axis=-1)
     color, a = composite_images(fluid, scene, cam, dirs_z, softness)

@@ -63,11 +63,22 @@ def splat_particles(
     depth_falloff: float = 2.0,
     full_height: Optional[int] = None,
     y_offset=0,
+    env_cube: Optional[jnp.ndarray] = None,  # (6, S, S, 3) environment light
+    env_diffuse: float = 0.75,
+    env_specular: float = 0.35,
 ) -> SplatImage:
     """Rasterize particles as soft spheres. Fully differentiable.
 
     background matches the reference fragment shader's black_col outside the
     sprite disc (frag:12).
+
+    `env_cube` lights the splats with an environment cubemap (e.g. the baked
+    CIE sky, sky/bake.bake_sky_cubemap): per-sample fake sphere normals are
+    rotated to world space, the cubemap is sampled along the normal (diffuse
+    irradiance proxy) and along the view reflection (specular) — the
+    atmosphere finally feeds the FLUID shading, not just the raytracer's
+    background (SURVEY §1 L9 'meant to feed render cubemaps'; round-2
+    verdict, weak #9). Differentiable in positions AND the cubemap texels.
 
     Tile mode (parallel/render_shard.py): `height` is the local tile height,
     `full_height` the whole image's, and `y_offset` (traced — typically
@@ -107,7 +118,8 @@ def splat_particles(
     oz = jnp.where(inside_disc, jnp.sqrt(jnp.where(inside_disc, 1.0 - r2, 1.0)), 0.0)
     normal = jnp.stack([ox, -oy, oz], axis=-1)
     norm_len = jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-6)
-    normal_col = normal / norm_len * 0.5 + 0.5        # (N, P^2, 3)
+    normal_unit = normal / norm_len
+    normal_col = normal_unit * 0.5 + 0.5              # (N, P^2, 3)
     if colors is not None:
         base_col = jnp.broadcast_to(colors[:, None, :], normal_col.shape)
         # Lambert-ish modulation by the fake sphere normal's z
@@ -115,6 +127,24 @@ def splat_particles(
         col = base_col * shade
     else:
         col = normal_col
+    if env_cube is not None:
+        # View space: camera looks along +z (depth = view z). World = view
+        # row-vector times R, with R the view matrix's rotation block
+        # (view = R @ world => world = R^T @ view).
+        R = cam.view_matrix()[:3, :3]
+        n_world = normal_unit @ R                      # (N, P^2, 3)
+        nz = normal_unit[..., 2:3]
+        # reflect(+z incident about n): r = v - 2(n.v)n with v = (0,0,1)
+        r_view = jnp.concatenate(
+            [-2.0 * nz * normal_unit[..., 0:1],
+             -2.0 * nz * normal_unit[..., 1:2],
+             1.0 - 2.0 * nz * nz], axis=-1)
+        from dieselfluid_tpu.render.cubemap import sample_cubemap
+
+        env_n = sample_cubemap(env_cube, n_world)
+        env_r = sample_cubemap(env_cube, r_view @ R)
+        col = col * ((1.0 - env_diffuse) + env_diffuse * env_n) \
+            + env_specular * env_r
 
     # Weighted-blended OIT: weight = coverage * exp(-k z)
     zmin = jnp.min(jnp.where(in_front, depth, jnp.inf))

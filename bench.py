@@ -172,7 +172,8 @@ def bench_sim_render_fwd_bwd(n3: int = 80, frames: int = 3):
     def loss(pos):
         st = state._replace(pos=pos)
         nxt, _ = dense_wcsph_step(st, params, spec)
-        img = splat_particles(nxt.pos, dx * 0.7, cam, width=1920, height=1080)
+        img = splat_particles(nxt.pos, dx * 0.7, cam, width=1920, height=1080,
+                              chunk=65536)
         return jnp.sum((img.color - target) ** 2)
 
     g = jax.jit(jax.grad(loss))
@@ -187,6 +188,64 @@ def bench_sim_render_fwd_bwd(n3: int = 80, frames: int = 3):
     return {"n": state.pos.shape[0], "frames": frames,
             "fwd_bwd_ms_per_frame": dt / frames * 1e3,
             "grad_norm_sq": gnorm}
+
+
+def bench_pcisph_materials_grad_1m(n3: int = 100, frames: int = 2):
+    """BASELINE config 4: 1M-particle dense PCISPH step (fixed-iteration
+    reverse-mode scan) -> sky-lit splat render -> pixel loss -> gradients to
+    the MATERIAL parameters (viscosity, rest density, mass) and the
+    pre-step positions, compiled on hardware."""
+    import jax
+    import jax.numpy as jnp
+
+    from dieselfluid_tpu.config import FluidParams
+    from dieselfluid_tpu.models.materials import Materials
+    from dieselfluid_tpu.models.particles import dam_break_state
+    from dieselfluid_tpu.neighbors.calibrate import lattice_rest_density
+    from dieselfluid_tpu.ops.cellops import DenseCellSpec
+    from dieselfluid_tpu.render.camera import Camera
+    from dieselfluid_tpu.render.splat import splat_particles
+    from dieselfluid_tpu.sky.bake import bake_sky_cubemap
+    from dieselfluid_tpu.solvers.dense_step import dense_pcisph_step
+    from dieselfluid_tpu.solvers.pcisph import compute_pci_delta
+
+    extent = 0.5
+    dx = (2.0 / n3) * extent
+    params = FluidParams.for_spacing(dx)
+    state = dam_break_state(n3, params, extent=extent)
+    params = lattice_rest_density(dx, params)
+    delta = compute_pci_delta(params, dx)
+    off = params.h / 4.0
+    spec = DenseCellSpec.for_domain((-1 - off,) * 3, (1 + off,) * 3, params.h,
+                                    capacity=16)
+    mats = Materials.from_params(params)
+    env = bake_sky_cubemap((0.3, 0.8, 0.5), size=48)
+    cam = Camera.at((0.0, 0.6, -2.8), front=(0.0, -0.35, 1.0),
+                    fov_deg=55.0, aspect=1920.0 / 1080.0)
+    target = jnp.zeros((1080, 1920, 3), jnp.float32)
+
+    def loss(m, pos):
+        st = state._replace(pos=pos)
+        nxt, _ = dense_pcisph_step(st, params, spec, delta, materials=m,
+                                   unroll_for_grad=True)
+        img = splat_particles(nxt.pos, dx * 0.7, cam, width=1920, height=1080,
+                              env_cube=env, chunk=65536)
+        return jnp.sum((img.color - target) ** 2)
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1)))
+    gm, gp = g(mats, state.pos)
+    checks = {f: float(np.asarray(getattr(gm, f))) for f in ("mu", "d0", "mass")}
+    gpn = float(np.asarray(jnp.sum(gp * gp)))
+    assert all(np.isfinite(v) for v in checks.values()), checks
+    assert np.isfinite(gpn), gpn
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        gm, gp = g(mats, state.pos)
+    float(np.asarray(gm.mu))
+    dt = time.perf_counter() - t0
+    return {"n": state.pos.shape[0], "frames": frames,
+            "fwd_bwd_ms_per_frame": dt / frames * 1e3,
+            "material_grads": checks, "grad_pos_norm_sq": gpn}
 
 
 def bench_composite_1080p(n3: int = 80, frames: int = 3):
@@ -231,7 +290,8 @@ def bench_composite_1080p(n3: int = 80, frames: int = 3):
     def loss(pos):
         img = render_composite(pos, dx * 0.7, cam, tris, norms, mats,
                                materials, light_pos=(2.0, 3.0, -2.0),
-                               env_cube=env, width=1920, height=1080)
+                               env_cube=env, width=1920, height=1080,
+                               splat_chunk=65536)
         return jnp.sum((img.color - target) ** 2)
 
     g = jax.jit(jax.grad(loss))
@@ -306,6 +366,7 @@ def main():
         ("render_1080p_fwd_bwd", bench_render_1080p, {}),
         ("sim_render_512k_fwd_bwd_1080p", bench_sim_render_fwd_bwd, {}),
         ("composite_1080p_fwd_bwd", bench_composite_1080p, {}),
+        ("pcisph_materials_grad_1m", bench_pcisph_materials_grad_1m, {}),
     ):
         try:
             details[name] = fn(**kw)

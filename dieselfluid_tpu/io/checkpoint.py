@@ -69,6 +69,49 @@ def load_checkpoint(path: str) -> Tuple[FluidState, int, Optional[FluidParams],
     return state, meta["step"], params, config
 
 
+def save_slab_checkpoint(path: str, slabs, step: int,
+                         params: Optional[FluidParams] = None):
+    """Checkpoint a sharded SlabState (parallel.halo). orbax gathers the
+    sharded leaves; restore re-shards onto whatever mesh loads it."""
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        import shutil
+
+        shutil.rmtree(path)
+    ckptr = ocp.StandardCheckpointer()
+    arrays = {k: v for k, v in slabs._asdict().items() if v is not None}
+    ckptr.save(os.path.join(path, "slabs"), arrays)
+    ckptr.wait_until_finished()
+    meta = {
+        "step": int(step),
+        "params": _params_dict(params) if params else None,
+        "kind": "slab",
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+
+
+def load_slab_checkpoint(path: str):
+    """Restore (SlabState, step, params) saved by save_slab_checkpoint."""
+    from dieselfluid_tpu.parallel.halo import SlabState
+
+    path = os.path.abspath(path)
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    ckptr = ocp.StandardCheckpointer()
+    arrays = ckptr.restore(os.path.join(path, "slabs"))
+    slabs = SlabState(
+        pos=arrays["pos"], vel=arrays["vel"], alive=arrays["alive"],
+        dropped=arrays["dropped"], pressure=arrays.get("pressure"),
+        boundary_pos=arrays.get("boundary_pos"),
+        boundary_mask=arrays.get("boundary_mask"),
+    )
+    params = FluidParams(**{**meta["params"],
+                            "gravity": tuple(meta["params"]["gravity"])}) \
+        if meta.get("params") else None
+    return slabs, meta["step"], params
+
+
 class Checkpointer:
     """Rolling checkpoint manager: keeps the latest k checkpoints."""
 

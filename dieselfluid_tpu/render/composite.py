@@ -73,6 +73,7 @@ def render_composite(
     softness: float = 0.05,
     tri_uvs=None, textures=None, mat_base_tex=None, mat_normal_tex=None,
     tile: int = 4096,
+    splat_chunk: Optional[int] = None,
 ) -> CompositeImage:
     """One differentiable frame: fluid + GLTF scene + sky environment."""
     scene = render_scene(
@@ -87,7 +88,7 @@ def render_composite(
     # splat_particles), not just the raytracer's miss/reflection rays.
     fluid = splat_particles(pos, radius, cam, width=width, height=height,
                             colors=colors, background=(0.0, 0.0, 0.0),
-                            env_cube=env_cube)
+                            env_cube=env_cube, chunk=splat_chunk)
     _, dirs = cam.pixel_rays(width, height)
     dirs_z = jnp.sum(dirs * cam.front, axis=-1)
     color, a = composite_images(fluid, scene, cam, dirs_z, softness)

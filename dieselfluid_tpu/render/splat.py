@@ -49,7 +49,8 @@ def _project(cam: Camera, pos: jnp.ndarray, width: int, height: int):
     return u, vpix, depth, fy
 
 
-@partial(jax.jit, static_argnames=("width", "height", "patch", "full_height"))
+@partial(jax.jit, static_argnames=("width", "height", "patch", "full_height",
+                                   "chunk"))
 def splat_particles(
     pos: jnp.ndarray,                    # (N, 3) world positions
     radius: jnp.ndarray,                 # scalar or (N,) world-space radii
@@ -66,6 +67,7 @@ def splat_particles(
     env_cube: Optional[jnp.ndarray] = None,  # (6, S, S, 3) environment light
     env_diffuse: float = 0.75,
     env_specular: float = 0.35,
+    chunk: Optional[int] = None,             # particles per scatter block
 ) -> SplatImage:
     """Rasterize particles as soft spheres. Fully differentiable.
 
@@ -84,6 +86,12 @@ def splat_particles(
     `full_height` the whole image's, and `y_offset` (traced — typically
     axis_index * height) the tile's first row. Projection geometry uses the
     full image; the scatter lands only in the local tile.
+
+    `chunk` bounds memory at large N: particles scatter in blocks under a
+    rematerialized scan (image accumulators are the carry), so fwd+bwd peak
+    memory is O(chunk * patch^2) instead of O(N * patch^2) — required for
+    512k+ particles at 1080p (the unchunked backward holds ~20 such buffers
+    and exceeds 16G HBM).
     """
     n = pos.shape[0]
     radius = jnp.broadcast_to(jnp.asarray(radius, jnp.float32), (n,))
@@ -93,85 +101,109 @@ def splat_particles(
     in_front = depth > 1e-3
     pix_r = radius * focal / jnp.maximum(depth, 1e-3)
     pix_r = jnp.clip(pix_r, 0.75, patch / 2.0)
-
-    # Patch offsets around each particle's center pixel
-    half = patch // 2
-    dy, dx = jnp.meshgrid(
-        jnp.arange(patch, dtype=jnp.float32) - half,
-        jnp.arange(patch, dtype=jnp.float32) - half,
-        indexing="ij",
-    )
-    cx = jnp.floor(u)
-    cy = jnp.floor(v)
-    px = cx[:, None] + dx.ravel()[None, :]            # (N, P^2)
-    py = cy[:, None] + dy.ravel()[None, :]
-
-    # Sub-pixel offsets from the true center -> soft coverage + fake normal
-    ox = (px + 0.5 - u[:, None]) / pix_r[:, None]     # normalized sprite coords
-    oy = (py + 0.5 - v[:, None]) / pix_r[:, None]
-    r2 = ox * ox + oy * oy
-    coverage = jax.nn.sigmoid(sharpness * (1.0 - r2))  # soft disc
-
-    # Sphere-normal shading (ref: particle_fluid.frag:4-20). where-trick on
-    # the sqrt operand: sqrt'(0)=inf would leak NaN gradients at the disc edge.
-    inside_disc = (1.0 - r2) > 1e-6
-    oz = jnp.where(inside_disc, jnp.sqrt(jnp.where(inside_disc, 1.0 - r2, 1.0)), 0.0)
-    normal = jnp.stack([ox, -oy, oz], axis=-1)
-    norm_len = jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-6)
-    normal_unit = normal / norm_len
-    normal_col = normal_unit * 0.5 + 0.5              # (N, P^2, 3)
-    if colors is not None:
-        base_col = jnp.broadcast_to(colors[:, None, :], normal_col.shape)
-        # Lambert-ish modulation by the fake sphere normal's z
-        shade = 0.35 + 0.65 * oz[..., None]
-        col = base_col * shade
-    else:
-        col = normal_col
-    if env_cube is not None:
-        # View space: camera looks along +z (depth = view z). World = view
-        # row-vector times R, with R the view matrix's rotation block
-        # (view = R @ world => world = R^T @ view).
-        R = cam.view_matrix()[:3, :3]
-        n_world = normal_unit @ R                      # (N, P^2, 3)
-        nz = normal_unit[..., 2:3]
-        # reflect(+z incident about n): r = v - 2(n.v)n with v = (0,0,1)
-        r_view = jnp.concatenate(
-            [-2.0 * nz * normal_unit[..., 0:1],
-             -2.0 * nz * normal_unit[..., 1:2],
-             1.0 - 2.0 * nz * nz], axis=-1)
-        from dieselfluid_tpu.render.cubemap import sample_cubemap
-
-        env_n = sample_cubemap(env_cube, n_world)
-        env_r = sample_cubemap(env_cube, r_view @ R)
-        col = col * ((1.0 - env_diffuse) + env_diffuse * env_n) \
-            + env_specular * env_r
-
-    # Weighted-blended OIT: weight = coverage * exp(-k z)
+    # Global depth normalization for the OIT weights (projection is cheap
+    # (N,) work, so it runs unchunked even in chunked mode).
     zmin = jnp.min(jnp.where(in_front, depth, jnp.inf))
-    znorm = (depth - zmin)[:, None]
-    w = coverage * jnp.exp(-depth_falloff * znorm)
-    valid = (
-        in_front[:, None]
-        & (px >= 0) & (px < width) & (py >= 0) & (py < height)
-    )
-    w = jnp.where(valid, w, 0.0)
-    a_src = jnp.where(valid, coverage, 0.0)
+    R = cam.view_matrix()[:3, :3] if env_cube is not None else None
 
-    ix = jnp.clip(px.astype(jnp.int32), 0, width - 1)
-    iy = jnp.clip(py.astype(jnp.int32), 0, height - 1)
-    flat = (iy * width + ix).ravel()
+    def accumulate(carry, c):
+        """Scatter one particle block's splats into the image accumulators.
+        c: dict with u, v, depth, pix_r (+ optional col). The (B, P^2, ...)
+        intermediates live only inside this function — under jax.checkpoint
+        the backward recomputes them per block instead of storing ~20
+        (N, P^2, 3) residual buffers (512k x 81 samples OOM'd 16G HBM)."""
+        num, den, acc_a, acc_z = carry
+        half = patch // 2
+        dy, dx = jnp.meshgrid(
+            jnp.arange(patch, dtype=jnp.float32) - half,
+            jnp.arange(patch, dtype=jnp.float32) - half,
+            indexing="ij",
+        )
+        px = jnp.floor(c["u"])[:, None] + dx.ravel()[None, :]   # (B, P^2)
+        py = jnp.floor(c["v"])[:, None] + dy.ravel()[None, :]
 
-    num = jnp.zeros((height * width, 3), jnp.float32)
-    den = jnp.zeros((height * width,), jnp.float32)
-    acc_a = jnp.zeros((height * width,), jnp.float32)
-    acc_z = jnp.zeros((height * width,), jnp.float32)
+        # Sub-pixel offsets from the true center -> soft coverage + normal
+        ox = (px + 0.5 - c["u"][:, None]) / c["pix_r"][:, None]
+        oy = (py + 0.5 - c["v"][:, None]) / c["pix_r"][:, None]
+        r2 = ox * ox + oy * oy
+        coverage = jax.nn.sigmoid(sharpness * (1.0 - r2))  # soft disc
 
-    wf = w.ravel()
-    num = num.at[flat].add(col.reshape(-1, 3) * wf[:, None])
-    den = den.at[flat].add(wf)
-    acc_a = acc_a.at[flat].add(a_src.ravel())
-    acc_z = acc_z.at[flat].add(wf * jnp.broadcast_to(depth[:, None], w.shape).ravel())
+        # Sphere-normal shading (ref: particle_fluid.frag:4-20). where-trick
+        # on the sqrt operand: sqrt'(0)=inf would leak NaN grads at the edge.
+        inside = (1.0 - r2) > 1e-6
+        oz = jnp.where(inside, jnp.sqrt(jnp.where(inside, 1.0 - r2, 1.0)), 0.0)
+        normal = jnp.stack([ox, -oy, oz], axis=-1)
+        norm_len = jnp.maximum(
+            jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-6)
+        normal_unit = normal / norm_len
+        if "col" in c:
+            base_col = jnp.broadcast_to(c["col"][:, None, :],
+                                        normal_unit.shape)
+            col = base_col * (0.35 + 0.65 * oz[..., None])  # Lambert-ish
+        else:
+            col = normal_unit * 0.5 + 0.5
+        if env_cube is not None:
+            # View space: camera looks along +z. world = view row-vector
+            # times R (view = R @ world => world = R^T @ view).
+            from dieselfluid_tpu.render.cubemap import sample_cubemap
 
+            nz = normal_unit[..., 2:3]
+            # reflect(+z incident about n): r = v - 2(n.v)n, v = (0,0,1)
+            r_view = jnp.concatenate(
+                [-2.0 * nz * normal_unit[..., 0:1],
+                 -2.0 * nz * normal_unit[..., 1:2],
+                 1.0 - 2.0 * nz * nz], axis=-1)
+            env_n = sample_cubemap(env_cube, normal_unit @ R)
+            env_r = sample_cubemap(env_cube, r_view @ R)
+            col = col * ((1.0 - env_diffuse) + env_diffuse * env_n) \
+                + env_specular * env_r
+
+        # Weighted-blended OIT: weight = coverage * exp(-k z)
+        znorm = (c["depth"] - zmin)[:, None]
+        w = coverage * jnp.exp(-depth_falloff * znorm)
+        valid = (
+            (c["depth"] > 1e-3)[:, None]
+            & (px >= 0) & (px < width) & (py >= 0) & (py < height)
+        )
+        w = jnp.where(valid, w, 0.0)
+        a_src = jnp.where(valid, coverage, 0.0)
+
+        ix = jnp.clip(px.astype(jnp.int32), 0, width - 1)
+        iy = jnp.clip(py.astype(jnp.int32), 0, height - 1)
+        flat = (iy * width + ix).ravel()
+        wf = w.ravel()
+        num = num.at[flat].add(col.reshape(-1, 3) * wf[:, None])
+        den = den.at[flat].add(wf)
+        acc_a = acc_a.at[flat].add(a_src.ravel())
+        acc_z = acc_z.at[flat].add(
+            wf * jnp.broadcast_to(c["depth"][:, None], w.shape).ravel())
+        return (num, den, acc_a, acc_z), None
+
+    chans = {"u": u, "v": v, "depth": depth, "pix_r": pix_r}
+    if colors is not None:
+        chans["col"] = jnp.broadcast_to(
+            jnp.asarray(colors, jnp.float32), (n, 3))
+    carry = (jnp.zeros((height * width, 3), jnp.float32),
+             jnp.zeros((height * width,), jnp.float32),
+             jnp.zeros((height * width,), jnp.float32),
+             jnp.zeros((height * width,), jnp.float32))
+    if chunk is None or chunk >= n:
+        carry, _ = accumulate(carry, chans)
+    else:
+        # Pad to a block multiple with behind-camera (depth -1) particles —
+        # they fail the valid test and contribute exactly zero.
+        blocks = -(-n // chunk)
+        pad = blocks * chunk - n
+
+        def padded(x, fill):
+            fills = jnp.full((pad,) + x.shape[1:], fill, x.dtype)
+            return jnp.concatenate([x, fills]).reshape(
+                (blocks, chunk) + x.shape[1:])
+
+        seq = {k: padded(x, -1.0) for k, x in chans.items()}
+        carry, _ = jax.lax.scan(jax.checkpoint(accumulate), carry, seq)
+
+    num, den, acc_a, acc_z = carry
     den_safe = jnp.maximum(den, 1e-8)
     mean_col = num / den_safe[:, None]
     alpha = 1.0 - jnp.exp(-acc_a)                     # saturating coverage

@@ -62,6 +62,104 @@ class SimulationDiverged(RuntimeError):
         self.step = step
 
 
+class GuardedSlabRunner:
+    """Failure detection + rollback for the multi-chip slab paths.
+
+    Slab steps return device-reduced diagnostics (pmax'd max_vel, psum'd
+    n_live) directly, so health checking costs 3 scalar fetches — no state
+    download. Failure policy:
+
+      * non-finite global max |v|, or above the acoustic limit  -> blowup
+      * global live count != the initial count                   -> particles
+        lost (migration/store overflow beyond `drop_budget`)
+
+    On failure: restore the on-device SlabState snapshot, dt *= backoff,
+    rebind the step via `make_step(params)` and retry, as GuardedRunner.
+    `checkpointer`, when given, must be an io.checkpoint.Checkpointer; slab
+    snapshots are written with save_slab_checkpoint (orbax reshards on load).
+    """
+
+    def __init__(self, slabs, params: FluidParams,
+                 make_step: Callable[[FluidParams], Callable],
+                 check_every: int = 25, vel_limit: float = 1.0,
+                 drop_budget: int = 0, dt_backoff: float = 0.5,
+                 max_retries: int = 3, checkpointer=None):
+        self.slabs = slabs
+        self.params = params
+        self.make_step = make_step
+        self.step_fn = make_step(params)
+        self.check_every = check_every
+        self.vel_limit = vel_limit
+        self.drop_budget = drop_budget
+        self.dt_backoff = dt_backoff
+        self.max_retries = max_retries
+        self.checkpointer = checkpointer
+        self.step_count = 0
+        self.recoveries = 0
+        self._last_saved = 0
+        self.n0 = float(jnp.sum(slabs.alive))
+        self._snapshot = (slabs, 0)
+
+    @property
+    def sound_speed(self) -> float:
+        return float(np.sqrt(self.params.tait_w / self.params.d0))
+
+    def run(self, steps: int):
+        """Advance `steps` frames; returns (max_vel, n_live) of the last
+        chunk. Blocks once per chunk (required on CPU-emulated meshes — see
+        parallel.halo docstring — and a single 2-scalar fetch on TPU)."""
+        import jax
+
+        done = 0
+        max_vel = n_live = None
+        while done < steps:
+            n = min(self.check_every, steps - done)
+            s = self.slabs
+            for _ in range(n):
+                s, max_vel, n_live, *_rest = self.step_fn(s)
+            jax.block_until_ready(s.pos)
+            mv = float(np.asarray(max_vel))
+            nl = float(np.asarray(n_live))
+            failure = None
+            if not np.isfinite(mv):
+                failure = "non-finite velocities"
+            elif mv > self.vel_limit * self.sound_speed:
+                failure = "velocity blowup past the acoustic limit"
+            elif nl < self.n0 - self.drop_budget:
+                failure = (f"particles lost ({self.n0 - nl:.0f} > budget "
+                           f"{self.drop_budget})")
+            if failure is None:
+                self.slabs = s
+                self.step_count += n
+                done += n
+                self._snapshot = (s, self.step_count)
+                if self.checkpointer is not None and (
+                    self.step_count - self._last_saved
+                    >= self.checkpointer.interval
+                ):
+                    from dieselfluid_tpu.io.checkpoint import save_slab_checkpoint
+                    import os
+
+                    save_slab_checkpoint(
+                        os.path.join(self.checkpointer.root,
+                                     f"step_{self.step_count:09d}"),
+                        self.slabs, self.step_count, self.params)
+                    self.checkpointer._prune()
+                    self._last_saved = self.step_count
+                continue
+            if self.recoveries >= self.max_retries:
+                rep = HealthReport(jnp.asarray(np.isfinite(mv)),
+                                   jnp.float32(mv), jnp.float32(0.0),
+                                   jnp.int32(int(self.n0 - nl)))
+                raise SimulationDiverged(failure, rep, self.step_count)
+            self.recoveries += 1
+            self.slabs, self.step_count = self._snapshot
+            self.params = self.params.replace(
+                dt=float(self.params.dt * self.dt_backoff))
+            self.step_fn = self.make_step(self.params)
+        return max_vel, n_live
+
+
 class GuardedRunner:
     """Steps a simulation with periodic health checks and rollback recovery.
 

@@ -75,7 +75,7 @@ def test_matches_single_chip_dense(setup):
         assert float(slabs.dropped) == 0.0
         step = make_dense_halo_wcsph_step(mesh, spec, params)
         for _ in range(steps):
-            slabs, max_vel, n_live, cell_ovf = step(slabs)
+            slabs, max_vel, n_live, cell_ovf, per_slab = step(slabs)
             jax.block_until_ready(slabs.pos)   # CPU-mesh collective pitfall
 
     assert int(n_live) == s0.n
@@ -95,6 +95,114 @@ def test_matches_single_chip_dense(setup):
     assert vdiff < 5e-3, f"max velocity divergence {vdiff:.2e}"
 
 
+def test_pcisph_matches_single_chip_dense(setup):
+    """Distributed dense PCISPH (plane-column halos per correction iteration,
+    global pmax exit, SlabState pressure warm start) vs the single-chip dense
+    step on the matching global lattice — the flagship solver at scale
+    (round-2 verdict, next-step #4)."""
+    from dieselfluid_tpu.neighbors.calibrate import lattice_rest_density
+    from dieselfluid_tpu.parallel.dense_halo import make_dense_halo_pcisph_step
+    from dieselfluid_tpu.solvers.dense_step import dense_pcisph_step
+    from dieselfluid_tpu.solvers.pcisph import compute_pci_delta
+
+    _, s0, spec, mesh = setup
+    dx = 2.0 / 10 * 0.5
+    # Equilibrium d0 (the fixture's 1.1x-inflated d0 puts the loop in a
+    # permanently non-converging 5-iteration regime that amplifies float
+    # noise through delta feedback); a downward slam forces compression so
+    # the loop still takes >1 correction iteration.
+    params = lattice_rest_density(dx, FluidParams.for_spacing(dx))
+    s0 = s0._replace(vel=s0.vel + jnp.asarray([0.0, -1.0, 0.0]))
+    delta = compute_pci_delta(params, dx)
+    steps = 3
+
+    gspec = DenseCellSpec.for_domain(
+        (spec.lo, spec.lo, spec.lo),
+        (spec.hi_x, spec.hi_yz, spec.hi_yz + 3.0 * spec.cell),
+        spec.cell, capacity=spec.cell_capacity)
+    bounds = ((spec.lo,) * 3, (spec.hi_x, spec.hi_yz, spec.hi_yz))
+    with pltpu.force_tpu_interpret_mode():
+        s = s0
+        iters = []
+        for _ in range(steps):
+            s, diag = dense_pcisph_step(s, params, gspec, delta,
+                                        bounds=bounds, warm_start=True)
+            iters.append(int(diag.iters))
+        jax.block_until_ready(s.pos)
+        assert max(iters) >= 2, f"loop under-exercised: {iters}"
+
+        slabs = distribute_dense(s0, spec)
+        step = make_dense_halo_pcisph_step(mesh, spec, params, delta,
+                                           warm_start=True)
+        for _ in range(steps):
+            slabs, max_vel, n_live, cell_ovf, per_slab = step(slabs)
+            jax.block_until_ready(slabs.pos)
+
+    assert int(n_live) == s0.n
+    assert int(per_slab.sum()) == s0.n and per_slab.shape == (N_DEV,)
+    pos_sh, vel_sh = collect(slabs)
+    ref = np.asarray(s.pos)
+    d2 = ((ref[:, None, :] - pos_sh[None, :, :]) ** 2).sum(-1)
+    match = d2.argmin(axis=1)
+    assert len(np.unique(match)) == len(ref), "matching is not a bijection"
+    dist = np.sqrt(d2[np.arange(len(ref)), match])
+    # 1e-3 like test_halo's PCISPH parity: fp noise in the density-error max
+    # can flip the while_loop exit iteration between the two runs.
+    assert dist.max() < 1e-3, f"max position divergence {dist.max():.2e}"
+    vdiff = np.abs(np.asarray(s.vel) - vel_sh[match]).max()
+    assert vdiff < 1e-2, f"max velocity divergence {vdiff:.2e}"
+
+
+def test_pcisph_boundary_dam_break_distributed(setup):
+    """Distributed dam-break-in-boundary-box (the sharded twin of
+    tests/test_boundary.py's container test; round-2 verdict, next-step #5):
+    per-slab static boundary stores join the planes, ghost columns carry
+    neighbor boundary cells, and physics matches the single-chip dense step
+    with the same boundary set."""
+    from dieselfluid_tpu.geometry.mesh import box
+    from dieselfluid_tpu.neighbors.calibrate import lattice_rest_density
+    from dieselfluid_tpu.parallel.dense_halo import make_dense_halo_pcisph_step
+    from dieselfluid_tpu.solvers.dense_step import dense_pcisph_step
+    from dieselfluid_tpu.solvers.pcisph import compute_pci_delta
+
+    _, s0, spec, mesh = setup
+    dx = 2.0 / 10 * 0.5
+    params = lattice_rest_density(dx, FluidParams.for_spacing(dx))
+    delta = compute_pci_delta(params, dx)
+    container = box(1.6, 1.6, 1.6)
+    s_b = s0._replace(boundary_pos=container.generate_boundary_particles(1.0))
+    steps = 3
+
+    gspec = DenseCellSpec.for_domain(
+        (spec.lo, spec.lo, spec.lo),
+        (spec.hi_x, spec.hi_yz, spec.hi_yz + 3.0 * spec.cell),
+        spec.cell, capacity=spec.cell_capacity)
+    bounds = ((spec.lo,) * 3, (spec.hi_x, spec.hi_yz, spec.hi_yz))
+    with pltpu.force_tpu_interpret_mode():
+        s = s_b
+        for _ in range(steps):
+            s, _ = dense_pcisph_step(s, params, gspec, delta,
+                                     bounds=bounds, warm_start=True)
+        jax.block_until_ready(s.pos)
+
+        slabs = distribute_dense(s_b, spec)
+        assert slabs.boundary_pos is not None
+        step = make_dense_halo_pcisph_step(mesh, spec, params, delta,
+                                           boundary=True, warm_start=True)
+        for _ in range(steps):
+            slabs, max_vel, n_live, cell_ovf, per_slab = step(slabs)
+            jax.block_until_ready(slabs.pos)
+
+    assert int(n_live) == s0.n
+    pos_sh, vel_sh = collect(slabs)
+    ref = np.asarray(s.pos)
+    d2 = ((ref[:, None, :] - pos_sh[None, :, :]) ** 2).sum(-1)
+    match = d2.argmin(axis=1)
+    assert len(np.unique(match)) == len(ref), "matching is not a bijection"
+    dist = np.sqrt(d2[np.arange(len(ref)), match])
+    assert dist.max() < 1e-3, f"max position divergence {dist.max():.2e}"
+
+
 def test_migration_across_faces(setup):
     """Particles pushed over a slab face must land on the neighbor."""
     params, s0, spec, mesh = setup
@@ -108,7 +216,7 @@ def test_migration_across_faces(setup):
     step = make_dense_halo_wcsph_step(mesh, spec, params)
     with pltpu.force_tpu_interpret_mode():
         for _ in range(5):
-            slabs, max_vel, n_live, cell_ovf = step(slabs)
+            slabs, max_vel, n_live, cell_ovf, per_slab = step(slabs)
             jax.block_until_ready(slabs.pos)
     # The 20 m/s slam may transiently overflow cell capacity (counted in
     # cell_ovf, interactions under-resolved) — but NOTHING may be lost.

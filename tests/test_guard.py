@@ -113,3 +113,88 @@ class TestGuardedRunner:
                           overflow_budget=10, max_retries=1)
         with pytest.raises(SimulationDiverged, match="overflow"):
             r.run(20)
+
+
+class TestGuardedSlabRunner:
+    """Failure detection + checkpoint/resume for the multi-chip slab paths
+    (round-2 verdict, next-step #7)."""
+
+    def _slab_sim(self, dt_scale=1.0):
+        from dieselfluid_tpu.parallel.halo import (
+            SlabSpec,
+            distribute,
+            make_halo_step,
+        )
+        from dieselfluid_tpu.parallel.sharding import particle_mesh
+
+        n3, extent, n_dev = 8, 0.5, 4
+        dx = (2.0 / n3) * extent
+        params = FluidParams.for_spacing(dx)
+        s0 = dam_break_state(n3, params, extent=extent)
+        params = calibrate_rest_density(s0.pos, params)
+        params = params.replace(dt=float(params.dt * dt_scale))
+        spec = SlabSpec(n_dev=n_dev, capacity=256, halo_capacity=128,
+                        migrate_capacity=64, h=params.h)
+        mesh = particle_mesh(n_dev)
+        slabs = distribute(s0, spec)
+
+        def make_step(p):
+            return make_halo_step(mesh, spec, p, k=48)
+
+        return slabs, params, make_step
+
+    def test_healthy_slab_run_advances(self):
+        from dieselfluid_tpu.utils.guard import GuardedSlabRunner
+
+        slabs, params, make_step = self._slab_sim()
+        r = GuardedSlabRunner(slabs, params, make_step, check_every=5)
+        max_vel, n_live = r.run(10)
+        assert r.step_count == 10 and r.recoveries == 0
+        assert float(n_live) == r.n0
+        assert np.isfinite(float(max_vel))
+
+    def test_slab_recovery_from_dt_blowup(self):
+        from dieselfluid_tpu.utils.guard import GuardedSlabRunner
+
+        slabs, params, make_step = self._slab_sim(dt_scale=60.0)
+        r = GuardedSlabRunner(slabs, params, make_step, check_every=5,
+                              max_retries=3)
+        try:
+            r.run(10)
+        except SimulationDiverged:
+            pass
+        assert r.recoveries >= 1
+        assert r.params.dt < params.dt
+
+    def test_slab_checkpoint_kill_and_resume(self, tmp_path):
+        from dieselfluid_tpu.io.checkpoint import (
+            Checkpointer,
+            load_slab_checkpoint,
+        )
+        from dieselfluid_tpu.utils.guard import GuardedSlabRunner
+
+        slabs, params, make_step = self._slab_sim()
+        ck = Checkpointer(str(tmp_path / "ck"), interval=5)
+        r = GuardedSlabRunner(slabs, params, make_step, check_every=5,
+                              checkpointer=ck)
+        r.run(10)
+        ref = r.slabs
+
+        # "Kill": throw the runner away; resume from the latest checkpoint.
+        import os
+
+        steps_dirs = sorted(os.listdir(ck.root))
+        assert steps_dirs, "no slab checkpoint written"
+        loaded, step, lparams = load_slab_checkpoint(
+            os.path.join(ck.root, steps_dirs[-1]))
+        assert step == 10
+        assert lparams.dt == pytest.approx(params.dt)
+        np.testing.assert_allclose(np.asarray(loaded.pos),
+                                   np.asarray(ref.pos), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(loaded.pressure),
+                                   np.asarray(ref.pressure), atol=1e-6)
+
+        # Resumed runner continues stepping.
+        r2 = GuardedSlabRunner(loaded, lparams, make_step, check_every=5)
+        r2.run(5)
+        assert r2.step_count == 5

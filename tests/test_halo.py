@@ -67,7 +67,7 @@ def test_halo_step_conserves_particles(setup):
     step = make_halo_step(mesh, spec, params, k=64)
     n0 = float(jnp.sum(slabs.alive))
     for _ in range(20):
-        slabs, max_vel, n_live = step(slabs)
+        slabs, max_vel, n_live, per_slab = step(slabs)
     assert float(n_live) == n0
     assert float(slabs.dropped) == 0.0
     assert np.isfinite(float(max_vel))
@@ -92,7 +92,7 @@ def test_halo_matches_single_device_physics(setup):
     for _ in range(n_steps):
         # block each step: CPU-emulation collectives deadlock when many
         # multi-collective programs queue up (see halo.py docstring)
-        slabs, max_vel, _ = jax.block_until_ready(step(slabs))
+        slabs, max_vel, _, _ = jax.block_until_ready(step(slabs))
     pos, _ = collect(slabs)
 
     a = np.sort(np.asarray(single.pos), axis=0)
@@ -123,7 +123,7 @@ def test_distributed_pcisph_matches_single_device(setup):
     step = make_halo_pcisph_step(mesh, spec, params, delta, k=96)
     n0 = float(jnp.sum(slabs.alive))
     for _ in range(n_steps):
-        slabs, max_vel, n_live = jax.block_until_ready(step(slabs))
+        slabs, max_vel, n_live, _ = jax.block_until_ready(step(slabs))
     pos, _ = collect(slabs)
 
     assert float(n_live) == n0
@@ -152,7 +152,7 @@ def test_migration_moves_particles_between_slabs(setup):
     occ0 = occupancy(slabs)
     step = make_halo_step(mesh, spec, params, k=32)
     for _ in range(40):
-        slabs, _, n_live = step(slabs)
+        slabs, _, n_live, _ = step(slabs)
     occ1 = occupancy(slabs)
     assert occ1 != occ0, "no migration happened"
     assert float(n_live) == sum(occ0), "particles lost during migration"

@@ -241,3 +241,30 @@ class TestSkyLitSplats:
         # The sky itself is differentiable through the fluid shading —
         # config 4's environment-light gradient path.
         assert float(jnp.abs(gc).max()) > 0.0
+
+
+class TestChunkedSplats:
+    def test_chunked_matches_unchunked_fwd_and_grad(self):
+        """Blocked scatter under a rematerialized scan must match the
+        one-shot rasterization exactly (memory fix for 512k x 1080p)."""
+        cam = Camera.at((0.0, 0.0, -2.0), front=(0.0, 0.0, 1.0),
+                        fov_deg=60.0, aspect=1.0)
+        key = jax.random.PRNGKey(0)
+        pos = jax.random.uniform(key, (500, 3), jnp.float32, -0.5, 0.5)
+        cube = jax.random.uniform(jax.random.PRNGKey(1), (6, 4, 4, 3),
+                                  jnp.float32)
+        a = splat_particles(pos, 0.05, cam, 48, 48, env_cube=cube)
+        b = splat_particles(pos, 0.05, cam, 48, 48, env_cube=cube, chunk=64)
+        np.testing.assert_allclose(np.asarray(a.color), np.asarray(b.color),
+                                   atol=1e-6)
+
+        def loss(p, chunk):
+            img = splat_particles(p, 0.05, cam, 48, 48, env_cube=cube,
+                                  chunk=chunk)
+            return jnp.sum(img.color ** 2)
+
+        ga = jax.grad(loss)(pos, None)
+        gb = jax.grad(loss)(pos, 64)
+        scale = float(jnp.abs(ga).max())
+        np.testing.assert_allclose(np.asarray(ga) / scale,
+                                   np.asarray(gb) / scale, atol=1e-5)

@@ -75,7 +75,7 @@ def test_sim_to_render_sharded_pipeline(setup):
     slabs = distribute(s0, spec)
     step = make_halo_step(mesh, spec, params, k=48)
     for _ in range(5):
-        slabs, _, _ = jax.block_until_ready(step(slabs))
+        slabs, _, _, _ = jax.block_until_ready(step(slabs))
 
     behind = cam.position - cam.front          # depth < 0 -> zero coverage
     # Materialize to host-committed arrays: the comparison path runs the

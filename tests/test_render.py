@@ -268,3 +268,29 @@ class TestChunkedSplats:
         scale = float(jnp.abs(ga).max())
         np.testing.assert_allclose(np.asarray(ga) / scale,
                                    np.asarray(gb) / scale, atol=1e-5)
+
+
+class TestSH9:
+    def test_constant_environment_roundtrip(self):
+        """SH9 projection of a constant cubemap reconstructs the constant in
+        every direction (Y00 completeness: 0.2821^2 * 4pi = 1)."""
+        from dieselfluid_tpu.render.sh import eval_sh9, project_sh9
+
+        cube = jnp.full((6, 16, 16, 3), 0.7, jnp.float32)
+        coeffs = project_sh9(cube)
+        dirs = jnp.asarray([[0, 1, 0], [1, 0, 0], [0.6, -0.48, 0.64]],
+                           jnp.float32)
+        vals = eval_sh9(coeffs, dirs / jnp.linalg.norm(dirs, axis=-1,
+                                                       keepdims=True))
+        np.testing.assert_allclose(np.asarray(vals), 0.7, rtol=2e-2)
+
+    def test_directional_environment_peaks_right(self):
+        from dieselfluid_tpu.render.sh import eval_sh9, project_sh9
+
+        cube = jnp.zeros((6, 16, 16, 3), jnp.float32)
+        cube = cube.at[2].set(1.0)                   # +Y face bright
+        coeffs = project_sh9(cube)
+        up = eval_sh9(coeffs, jnp.asarray([0.0, 1.0, 0.0]))
+        down = eval_sh9(coeffs, jnp.asarray([0.0, -1.0, 0.0]))
+        # Band-limited: SH9 keeps ~20% bleed opposite a single bright face.
+        assert float(up[0]) > 4.0 * float(down[0]) + 1e-3

@@ -213,6 +213,14 @@ def bench_pcisph_materials_grad_1m(n3: int = 100, frames: int = 2):
     dx = (2.0 / n3) * extent
     params = FluidParams.for_spacing(dx)
     state = dam_break_state(n3, params, extent=extent)
+    # Small random velocities: at rest the viscosity force is identically
+    # zero and d(loss)/d(mu) is a trivial 0 — perturb so the mu gradient is
+    # actually exercised.
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    state = state._replace(vel=_jax.random.normal(
+        _jax.random.PRNGKey(2), state.vel.shape, _jnp.float32) * 0.05)
     params = lattice_rest_density(dx, params)
     delta = compute_pci_delta(params, dx)
     off = params.h / 4.0

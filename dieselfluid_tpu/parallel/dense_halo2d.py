@@ -1,0 +1,323 @@
+"""2-D (x, y) slab decomposition for the dense Pallas pipeline.
+
+parallel/dense_halo.py decomposes the domain into 1-D x-slabs — past a few
+devices the surface/volume ratio stops improving and a dam break
+concentrates its mass in a handful of x slabs (the per-slab live-count
+diagnostic makes this visible). This module decomposes over a 2-D
+(AXIS_X, AXIS_Y) device mesh: each shard owns an nxd x nyd block of whole
+cell columns, so both decomposed axes scale.
+
+Halo protocol (the dense layout's ghost ring covers BOTH x and y —
+cellops rows = (nx+2) * (ny+2)):
+
+  1. y-exchange: each shard ppermutes its owned first/last y ROWS (strided
+     row gathers, one (nx+2, sub, 128) slab per direction) over AXIS_Y into
+     the neighbors' y ghost rows, then shifts their local y by +-slab_w_y.
+  2. x-exchange: the existing whole-column exchange over AXIS_X ships
+     (ny+2)-row blocks — which now INCLUDE the already-filled y ghost rows,
+     so the four diagonal corner cells arrive through the x neighbor with
+     the correct y shift (the x neighbor shares this shard's y frame).
+     Standard 2-phase corner forwarding; no diagonal ppermute needed.
+
+Owner-computed rho/pressure ghosts run the same y-then-x sequence, and
+migration runs one _migrate pass per dimension. WCSPH only for now — the
+1-D dense path remains the PCISPH production decomposition; this is the
+scaling prototype for wider meshes (round-2 verdict, next-step #8 stretch).
+
+ref: the reference is single-device (SURVEY §2.11); this has no analog.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from dieselfluid_tpu.config import FluidParams
+from dieselfluid_tpu.models.particles import FluidState
+from dieselfluid_tpu.ops.cellops import (
+    DenseCellSpec,
+    build_planes,
+    dense_indices,
+    gather_planes,
+)
+from dieselfluid_tpu.ops.pallas_sph import (
+    density_planes,
+    force_planes,
+    sweep_vma,
+)
+from dieselfluid_tpu.ops.smoothing import KernelCoeffs, tait_eos
+from dieselfluid_tpu.parallel.dense_halo import (
+    _exchange_ghost_columns,
+    _shift_ghost_x,
+)
+from dieselfluid_tpu.parallel.halo import SlabState, _migrate
+from dieselfluid_tpu.solvers.integrate import box_collide, semi_implicit_euler
+
+AXIS_X = "sp"
+AXIS_Y = "spy"
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseSlab2DSpec:
+    """nx_dev * ny_dev shards, each owning nxd x nyd whole cell columns."""
+
+    nx_dev: int
+    ny_dev: int
+    capacity: int
+    migrate_capacity: int
+    cell: float
+    nxd: int
+    nyd: int
+    lo: float = -1.0
+    hi_z: float = 1.0
+    cell_capacity: int = 16
+
+    @staticmethod
+    def build(nx_dev: int, ny_dev: int, h: float, capacity: int,
+              migrate_capacity: int, lo: float = -1.0, hi: float = 1.0,
+              cell_capacity: int = 16) -> "DenseSlab2DSpec":
+        nxd = max(1, int(-(-((hi - lo) / nx_dev) // h)))
+        nyd = max(1, int(-(-((hi - lo) / ny_dev) // h)))
+        return DenseSlab2DSpec(nx_dev=nx_dev, ny_dev=ny_dev,
+                               capacity=capacity,
+                               migrate_capacity=migrate_capacity,
+                               cell=float(h), nxd=nxd, nyd=nyd, lo=lo,
+                               hi_z=hi, cell_capacity=cell_capacity)
+
+    @property
+    def slab_w_x(self) -> float:
+        return self.nxd * self.cell
+
+    @property
+    def slab_w_y(self) -> float:
+        return self.nyd * self.cell
+
+    @property
+    def hi_x(self) -> float:
+        return self.lo + self.nx_dev * self.slab_w_x
+
+    @property
+    def hi_y(self) -> float:
+        return self.lo + self.ny_dev * self.slab_w_y
+
+    @property
+    def local_spec(self) -> DenseCellSpec:
+        base = DenseCellSpec.for_domain(
+            (0.0, 0.0, self.lo),
+            (self.slab_w_x, self.slab_w_y, self.hi_z + 3.0 * self.cell),
+            self.cell, capacity=self.cell_capacity)
+        return dataclasses.replace(base, nx=self.nxd, ny=self.nyd)
+
+    @property
+    def park_z(self) -> float:
+        return self.hi_z + 2.5 * self.cell
+
+
+def make_mesh_2d(nx_dev: int, ny_dev: int):
+    return jax.make_mesh((nx_dev, ny_dev), (AXIS_X, AXIS_Y))
+
+
+# ---------------------------------------------------------------------------
+# y ghost-row exchange
+# ---------------------------------------------------------------------------
+
+
+def _exchange_ghost_rows_y(plane, spec: DenseCellSpec, axis=AXIS_Y):
+    """Fill the y ghost rows (j = 0 and j = ny+1 within every x block) from
+    the AXIS_Y neighbors' owned edge rows. Strided gathers: one
+    (nx+2, sub, 128) slab per direction."""
+    py = spec.py
+    n = jax.lax.axis_size(axis)
+    idx = jnp.arange(spec.nx + 2) * py
+    to_right = [(i, i + 1) for i in range(n - 1)]
+    to_left = [(i + 1, i) for i in range(n - 1)]
+    from_left = jax.lax.ppermute(plane[idx + spec.ny], axis, to_right)
+    from_right = jax.lax.ppermute(plane[idx + 1], axis, to_left)
+    plane = plane.at[idx].set(from_left)
+    plane = plane.at[idx + spec.ny + 1].set(from_right)
+    return plane
+
+
+def _shift_ghost_y(planes: dict, spec: DenseCellSpec, slab_w_y: float):
+    """Localize received y-ghost rows: their y is the sender's local frame,
+    one slab width off."""
+    py = spec.py
+    idx = jnp.arange(spec.nx + 2) * py
+    m_lo = planes["mask"][idx]
+    m_hi = planes["mask"][idx + spec.ny + 1]
+    y = planes["y"]
+    y = y.at[idx].add(jnp.where(m_lo > 0, -slab_w_y, 0.0))
+    y = y.at[idx + spec.ny + 1].add(jnp.where(m_hi > 0, slab_w_y, 0.0))
+    planes["y"] = y
+    return planes
+
+
+def _exchange_2d(planes: dict, spec: DenseCellSpec, names,
+                 slab_w_x: float, slab_w_y: float):
+    """y-then-x ghost fill + local-frame shifts (corners ride phase 2)."""
+    for nme in names:
+        planes[nme] = _exchange_ghost_rows_y(planes[nme], spec)
+    planes = _shift_ghost_y(planes, spec, slab_w_y)
+    for nme in names:
+        planes[nme] = _exchange_ghost_columns(planes[nme], spec, axis=AXIS_X)
+    planes = _shift_ghost_x(planes, spec, slab_w_x)
+    return planes
+
+
+def _exchange_plane_2d(plane, spec: DenseCellSpec):
+    """Scalar plane (rho/pressure): ghost fill without coordinate shifts."""
+    plane = _exchange_ghost_rows_y(plane, spec)
+    return _exchange_ghost_columns(plane, spec, axis=AXIS_X)
+
+
+# ---------------------------------------------------------------------------
+# the 2-D sharded WCSPH step
+# ---------------------------------------------------------------------------
+
+
+def make_dense_halo_wcsph_step_2d(mesh, spec: DenseSlab2DSpec,
+                                  params: FluidParams):
+    """step(slabs) -> (slabs, max_vel, n_live, cell_overflow, per_slab_live)
+    with per_slab_live of shape (nx_dev, ny_dev)."""
+    lspec = spec.local_spec
+    k = KernelCoeffs.build(params.h)
+    d0, gamma, w = params.d0, params.tait_gamma, params.tait_w
+    axes = (AXIS_X, AXIS_Y)
+
+    class _ViewX:
+        lo, slab_width, migrate_capacity = (
+            spec.lo, spec.slab_w_x, spec.migrate_capacity)
+
+    class _ViewY:
+        lo, slab_width, migrate_capacity = (
+            spec.lo, spec.slab_w_y, spec.migrate_capacity)
+
+    def local_step(pos, vel, press_in, alive, dropped):
+        mex = jax.lax.axis_index(AXIS_X).astype(jnp.float32)
+        mey = jax.lax.axis_index(AXIS_Y).astype(jnp.float32)
+        x0 = spec.lo + spec.slab_w_x * mex
+        y0 = spec.lo + spec.slab_w_y * mey
+
+        local = pos - jnp.stack([x0, y0, 0.0])
+        live = alive > 0
+        park = jnp.asarray([0.5 * spec.slab_w_x, 0.5 * spec.slab_w_y,
+                            spec.park_z])
+        lpos = jnp.where(live[:, None], local, park)
+        flat, valid, _ = dense_indices(lpos, lspec)
+        overflow = jnp.sum((~valid) & live)
+        valid = valid & live
+
+        planes = build_planes(
+            {"x": lpos[:, 0], "y": lpos[:, 1], "z": lpos[:, 2],
+             "vx": vel[:, 0], "vy": vel[:, 1], "vz": vel[:, 2]},
+            flat, valid, lspec)
+        planes = _exchange_2d(planes, lspec,
+                              ("x", "y", "z", "vx", "vy", "vz", "mask"),
+                              spec.slab_w_x, spec.slab_w_y)
+
+        rho_plane = density_planes(planes, lspec, k, params.mass)
+        press_plane = jnp.where(planes["mask"] > 0,
+                                tait_eos(rho_plane, d0, params.p0, gamma, w),
+                                0.0)
+        rho_plane = _exchange_plane_2d(rho_plane, lspec)
+        press_plane = _exchange_plane_2d(press_plane, lspec)
+
+        fx, fy, fz = force_planes(planes, rho_plane, press_plane, lspec, k,
+                                  params.mass, float(params.mu))
+        vals = gather_planes([rho_plane, press_plane, fx, fy, fz], flat)
+        rho = jnp.where(valid, vals[:, 0], d0)
+        pressure = jnp.where(valid, vals[:, 1], 0.0)
+        f = jnp.where(valid[:, None], vals[:, 2:5], 0.0)
+        gravity = jnp.asarray(params.gravity, jnp.float32) * params.mass
+
+        state = FluidState(pos=pos, vel=vel, force=gravity + f, density=rho,
+                           pressure=pressure)
+        state, diag = semi_implicit_euler(state, params)
+        state = box_collide(state, (spec.lo,) * 3,
+                            (spec.hi_x, spec.hi_y, spec.hi_z))
+        new_pos = jnp.where(live[:, None], state.pos, pos)
+        new_vel = jnp.where(live[:, None], state.vel, vel)
+        press_keep = pressure * alive
+
+        # Two migration passes, one per decomposed dimension.
+        new_pos, new_vel, new_press, new_alive, dropped = _migrate(
+            new_pos, new_vel, press_keep, alive, dropped, _ViewX,
+            axis=AXIS_X, dim=0)
+        new_pos, new_vel, new_press, new_alive, dropped = _migrate(
+            new_pos, new_vel, new_press, new_alive, dropped, _ViewY,
+            axis=AXIS_Y, dim=1)
+
+        max_vel = jax.lax.pmax(jax.lax.stop_gradient(diag.max_vel), axes)
+        dropped = jax.lax.psum(dropped, axes)
+        live_here = jnp.sum(new_alive)[None, None]     # (1, 1)
+        n_live = jax.lax.psum(jnp.sum(new_alive), axes)
+        overflow = jax.lax.psum(overflow, axes)
+        n_sh = spec.nx_dev * spec.ny_dev
+        return (new_pos, new_vel, new_press, new_alive, dropped / n_sh,
+                (max_vel, n_live, overflow, live_here))
+
+    def vma_body(*args):
+        with sweep_vma(AXIS_X, AXIS_Y):
+            return local_step(*args)
+
+    sm = jax.shard_map(
+        vma_body, mesh=mesh,
+        in_specs=(P((AXIS_X, AXIS_Y), None), P((AXIS_X, AXIS_Y), None),
+                  P((AXIS_X, AXIS_Y)), P((AXIS_X, AXIS_Y)),
+                  P((AXIS_X, AXIS_Y))),
+        out_specs=(P((AXIS_X, AXIS_Y), None), P((AXIS_X, AXIS_Y), None),
+                   P((AXIS_X, AXIS_Y)), P((AXIS_X, AXIS_Y)),
+                   P((AXIS_X, AXIS_Y)),
+                   (P(), P(), P(), P(AXIS_X, AXIS_Y))),
+    )
+
+    @jax.jit
+    def step(slabs: SlabState):
+        n_sh = spec.nx_dev * spec.ny_dev
+        dropped_sh = jnp.broadcast_to(slabs.dropped / n_sh, (n_sh,))
+        press = (slabs.pressure if slabs.pressure is not None
+                 else jnp.zeros_like(slabs.alive))
+        pos, vel, press, alive, dropped, (max_vel, n_live, ovf, per_slab) = \
+            sm(slabs.pos, slabs.vel, press, slabs.alive, dropped_sh)
+        out = SlabState(pos=pos, vel=vel, alive=alive,
+                        dropped=jnp.sum(dropped), pressure=press)
+        return out, max_vel, n_live, ovf, per_slab
+
+    return step
+
+
+def distribute_2d(state: FluidState, spec: DenseSlab2DSpec) -> SlabState:
+    """Host-side: bin a global FluidState into (nx_dev * ny_dev) blocks,
+    shard-major order (x-major then y — matches P((AXIS_X, AXIS_Y)))."""
+    import numpy as np
+
+    pos = np.asarray(state.pos)
+    vel = np.asarray(state.vel)
+    press = np.asarray(state.pressure)
+    bx = np.clip(((pos[:, 0] - spec.lo) / spec.slab_w_x).astype(int),
+                 0, spec.nx_dev - 1)
+    by = np.clip(((pos[:, 1] - spec.lo) / spec.slab_w_y).astype(int),
+                 0, spec.ny_dev - 1)
+    shard = bx * spec.ny_dev + by
+    c = spec.capacity
+    n_sh = spec.nx_dev * spec.ny_dev
+    out_pos = np.zeros((n_sh * c, 3), np.float32)
+    out_vel = np.zeros((n_sh * c, 3), np.float32)
+    out_press = np.zeros((n_sh * c,), np.float32)
+    alive = np.zeros((n_sh * c,), np.float32)
+    dropped = 0
+    for d in range(n_sh):
+        idx = np.where(shard == d)[0]
+        take = idx[:c]
+        dropped += len(idx) - len(take)
+        out_pos[d * c:d * c + len(take)] = pos[take]
+        out_vel[d * c:d * c + len(take)] = vel[take]
+        out_press[d * c:d * c + len(take)] = press[take]
+        alive[d * c:d * c + len(take)] = 1.0
+    return SlabState(pos=jnp.asarray(out_pos), vel=jnp.asarray(out_vel),
+                     alive=jnp.asarray(alive),
+                     dropped=jnp.asarray(float(dropped)),
+                     pressure=jnp.asarray(out_press))

@@ -228,17 +228,20 @@ def _exchange(packs, arrays, axis=AXIS):
     return outs
 
 
-def _migrate(pos, vel, press, alive, dropped, spec: SlabSpec, axis=AXIS):
+def _migrate(pos, vel, press, alive, dropped, spec: SlabSpec, axis=AXIS,
+             dim: int = 0):
     """Move particles that left the slab to the adjacent device (pressure
-    rides along so the PCISPH warm start survives migration)."""
+    rides along so the PCISPH warm start survives migration). `axis`/`dim`
+    select the mesh axis and the spatial coordinate (2-D decompositions run
+    one pass per dimension)."""
     me = jax.lax.axis_index(axis)
     n = jax.lax.axis_size(axis)
     slab_lo = spec.lo + spec.slab_width * me
     slab_hi = slab_lo + spec.slab_width
 
     live = alive > 0
-    go_left = live & (pos[:, 0] < slab_lo) & (me > 0)
-    go_right = live & (pos[:, 0] >= slab_hi) & (me < n - 1)
+    go_left = live & (pos[:, dim] < slab_lo) & (me > 0)
+    go_right = live & (pos[:, dim] >= slab_hi) & (me < n - 1)
     stay = alive * (1.0 - go_left.astype(jnp.float32)) * (1.0 - go_right.astype(jnp.float32))
 
     mc = spec.migrate_capacity

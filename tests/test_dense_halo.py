@@ -203,6 +203,67 @@ def test_pcisph_boundary_dam_break_distributed(setup):
     assert dist.max() < 1e-3, f"max position divergence {dist.max():.2e}"
 
 
+def test_wcsph_2d_mesh_matches_single_chip():
+    """2-D (x,y) decomposition on a 2x2 mesh (round-2 verdict, next-step #8
+    stretch): y-then-x ghost exchange forwards the diagonal corners through
+    the x neighbor; physics matches the single-chip dense step.
+
+    2x2 with a coarse lattice, NOT 2x4: interpret-mode sweeps serialize
+    across the virtual devices, and XLA's CPU collective rendezvous ABORTS
+    the process if >40s separates the first and last program reaching a
+    collective — 8 programs with a (5,1) grid exceed that; this sizing
+    stays within it (same budget as the 1-D tests above).
+    """
+    from dieselfluid_tpu.parallel.dense_halo2d import (
+        DenseSlab2DSpec,
+        distribute_2d,
+        make_dense_halo_wcsph_step_2d,
+        make_mesh_2d,
+    )
+
+    n3, extent = 8, 0.5
+    dx = (2.0 / n3) * extent
+    params = FluidParams.for_spacing(dx)        # h = 0.25 -> nxd = nyd = 4
+    s0 = dam_break_state(n3, params, extent=extent)
+    params = params.replace(d0=float(1.1 * params.d0))
+    spec = DenseSlab2DSpec.build(2, 2, params.h, capacity=1024,
+                                 migrate_capacity=256, cell_capacity=32)
+    mesh = make_mesh_2d(2, 2)
+    steps = 3
+
+    gspec = DenseCellSpec.for_domain(
+        (spec.lo, spec.lo, spec.lo),
+        (spec.hi_x, spec.hi_y, spec.hi_z + 3.0 * spec.cell),
+        spec.cell, capacity=spec.cell_capacity)
+    bounds = ((spec.lo,) * 3, (spec.hi_x, spec.hi_y, spec.hi_z))
+    with pltpu.force_tpu_interpret_mode():
+        s = s0
+        for _ in range(steps):
+            s, diag = dense_wcsph_step(s, params, gspec, bounds=bounds)
+        jax.block_until_ready(s.pos)
+
+        slabs = distribute_2d(s0, spec)
+        assert float(slabs.dropped) == 0.0
+        step = make_dense_halo_wcsph_step_2d(mesh, spec, params)
+        for _ in range(steps):
+            slabs, max_vel, n_live, cell_ovf, per_slab = step(slabs)
+            jax.block_until_ready(slabs.pos)
+
+    assert int(n_live) == s0.n
+    assert per_slab.shape == (2, 2) and int(per_slab.sum()) == s0.n
+    alive = np.asarray(slabs.alive) > 0
+    pos_sh = np.asarray(slabs.pos)[alive]
+    vel_sh = np.asarray(slabs.vel)[alive]
+    ref = np.asarray(s.pos)
+    d2 = ((ref[:, None, :] - pos_sh[None, :, :]) ** 2).sum(-1)
+    match = d2.argmin(axis=1)
+    assert len(np.unique(match)) == len(ref), "matching is not a bijection"
+    dist = np.sqrt(d2[np.arange(len(ref)), match])
+    assert dist.max() < 5e-4, f"max position divergence {dist.max():.2e}"
+    vdiff = np.abs(np.asarray(s.vel) - vel_sh[match]).max()
+    assert vdiff < 5e-3, f"max velocity divergence {vdiff:.2e}"
+
+
 def test_migration_across_faces(setup):
     """Particles pushed over a slab face must land on the neighbor."""
     params, s0, spec, mesh = setup

@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--resume", type=str, default=None, help="checkpoint dir to resume")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--warm-start", action="store_true",
+                   help="PCISPH: carry pressure across frames (fewer "
+                        "correction iterations; deviates from the "
+                        "reference's per-frame Press=0 reset)")
     p.add_argument("--viewer", action="store_true",
                    help="install the WebGL trajectory viewer next to the "
                         "outputs (serve with python -m "
@@ -80,7 +84,8 @@ def main(argv=None) -> int:
     from dieselfluid_tpu.render.camera import Camera
     from dieselfluid_tpu.render.splat import splat_particles
 
-    config = SimConfig(n3=args.n3, solver=args.solver, neighbors=args.neighbors)
+    config = SimConfig(n3=args.n3, solver=args.solver, neighbors=args.neighbors,
+                       warm_start=args.warm_start)
     sim = Simulation.create(config, extent=args.extent, scene=args.scene)
     if args.resume:
         state, step, params, cfg = load_checkpoint(args.resume)

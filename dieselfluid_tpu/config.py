@@ -106,6 +106,9 @@ class SimConfig:
     cell_capacity: int = 32           # particles per cell in the cell table
     steps_per_frame: int = 1
     seed: int = 0
+    warm_start: bool = False          # PCISPH: carry pressure across frames
+                                      # (production knob; the reference
+                                      # resets Press each frame, fluid.go:192)
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self))

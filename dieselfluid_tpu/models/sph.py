@@ -42,7 +42,8 @@ def build_step_fn(config: SimConfig, params: FluidParams, delta: float = 0.0,
                                          capacity=config.cell_capacity)
         if config.solver == "pcisph":
             return lambda s: dense_pcisph_step(s, params, dspec, delta,
-                                               collider=collider)
+                                               collider=collider,
+                                               warm_start=config.warm_start)
         return lambda s: dense_wcsph_step(s, params, dspec, collider=collider)
 
     if config.neighbors == "cellgrid":
@@ -55,7 +56,8 @@ def build_step_fn(config: SimConfig, params: FluidParams, delta: float = 0.0,
             pos, pos, params.h, config.max_neighbors)
     if config.solver == "pcisph":
         return lambda s: pcisph_step(s, params, delta, neighbor_fn=nfn,
-                                     collider=collider)
+                                     collider=collider,
+                                     warm_start=config.warm_start)
     return lambda s: wcsph_step(s, params, neighbor_fn=nfn, collider=collider)
 
 

@@ -1,0 +1,404 @@
+"""Pallas tile-based splat rasterizer — the TPU-native particle renderer.
+
+The XLA splat path (render/splat.py) materializes (N, patch^2) sample arrays
+and scatter-adds ~N*patch^2 entries into the image with random indices —
+4.9 s/frame fwd+bwd at 512k x 1080p on v5e, dominated by the scatter. This
+module re-architects rasterization the same way ops/cellops re-architected
+neighbor search: bin work into DENSE TILES and sweep them in VMEM.
+
+  * The image splits into (8, 128)-pixel tiles (one VPU tile each; 1080p =
+    135 x 15 = 2025 tiles).
+  * Each particle's patch intersects at most 2x2 tiles; up to 4 (particle,
+    tile) ENTRIES bin into a dense (n_tiles, K) slot table (argsort + the
+    cellops O(N) rank scan), carrying tile-local splat parameters — one
+    cheap scatter per channel, no image-sized scatter at all.
+  * A Pallas kernel owns one tile per program: slot channels stream in as
+    (K/128, 128) VMEM blocks, and each (slot-row, pixel-row) pair evaluates
+    the splat function as a dense (128, 128) outer block on the VPU —
+    exactly the pair-sweep pattern of ops/pallas_sph, with per-slot-row
+    mask skipping so empty slots in skewed tiles cost nothing.
+  * The backward kernel derives its pair function with jax.vjp (the adjoint
+    of a per-pixel sum over slots is a per-slot sum over pixels) and emits
+    per-slot parameter gradients; XLA gathers them back through the binning
+    (scatter transposes to gather automatically).
+
+Forward semantics MATCH render/splat.splat_particles exactly (including the
+patch cutoff — contributions are masked to the patch box, not just rolled
+off by the sigmoid), so the two paths are interchangeable; tests pin parity.
+
+ref: this replaces the reference's GL point-sprite pass
+(render/glr/glr_darwin.go:481-491 + particle_fluid.{vert,frag}); the
+reference rasterizes via the GL driver's hardware raster units — this is
+the TPU's version of that fixed-function hardware, written in Pallas.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dieselfluid_tpu.render.camera import Camera
+from dieselfluid_tpu.render.splat import SplatImage, _project
+
+_CHANNELS = ("u", "v", "z", "r", "mask")
+
+
+@dataclasses.dataclass(frozen=True)
+class TileSpec:
+    """Static raster configuration. width % 128 == 0 and height % 8 == 0
+    (standard resolutions: 1920x1080, 256x256, ... all qualify)."""
+
+    width: int
+    height: int
+    k: int = 2048          # particle-entry slots per tile (multiple of 128)
+    patch: int = 9
+
+    def __post_init__(self):
+        assert self.width % self.tw == 0 and self.height % self.th == 0
+        assert self.k % 128 == 0
+
+    @property
+    def th(self) -> int:
+        return 8
+
+    @property
+    def tw(self) -> int:
+        return 128
+
+    @property
+    def ntx(self) -> int:
+        return self.width // self.tw
+
+    @property
+    def nty(self) -> int:
+        return self.height // self.th
+
+    @property
+    def n_tiles(self) -> int:
+        return self.ntx * self.nty
+
+    @property
+    def k_sub(self) -> int:
+        return self.k // 128
+
+    @property
+    def plane_shape(self) -> Tuple[int, int, int]:
+        return (self.n_tiles, self.k_sub, 128)
+
+
+# ---------------------------------------------------------------------------
+# entry binning (XLA)
+# ---------------------------------------------------------------------------
+
+
+def bin_tile_entries(u, v, z_norm, pix_r, in_front, spec: TileSpec):
+    """(particle, tile) entries -> dense slot planes + overflow count.
+
+    Channels are tile-local: u/v are offset by the tile origin so the kernel
+    sweeps pixel coordinates [0, tw) x [0, th).
+    """
+    half = spec.patch // 2
+    cx, cy = jnp.floor(u), jnp.floor(v)
+    tx0 = jnp.floor((cx - half) / spec.tw)
+    ty0 = jnp.floor((cy - half) / spec.th)
+
+    ids, oks, uls, vls = [], [], [], []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            tx = tx0 + dx
+            ty = ty0 + dy
+            ok = (in_front
+                  & (tx >= 0) & (tx < spec.ntx)
+                  & (ty >= 0) & (ty < spec.nty)
+                  & (tx * spec.tw <= cx + half)
+                  & (tx * spec.tw + spec.tw - 1 >= cx - half)
+                  & (ty * spec.th <= cy + half)
+                  & (ty * spec.th + spec.th - 1 >= cy - half))
+            ids.append((ty * spec.ntx + tx).astype(jnp.int32))
+            oks.append(ok)
+            uls.append(u - tx * spec.tw)
+            vls.append(v - ty * spec.th)
+    ids = jnp.concatenate(ids)
+    ok = jnp.concatenate(oks)
+    vals = {
+        "u": jnp.concatenate(uls),
+        "v": jnp.concatenate(vls),
+        "z": jnp.concatenate([z_norm] * 4),
+        "r": jnp.concatenate([pix_r] * 4),
+    }
+
+    # Within-tile rank: one argsort + the O(N) first-occurrence cummax scan
+    # (same machinery as ops/cellops.dense_indices).
+    n = ids.shape[0]
+    sort_key = jnp.where(ok, ids, spec.n_tiles)
+    order = jnp.argsort(sort_key)
+    sorted_ids = sort_key[order]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]])
+    first_occ = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    rank = jnp.zeros_like(idx).at[order].set(idx - first_occ)
+
+    valid = ok & (rank < spec.k)
+    overflow = jnp.sum(ok & ~(rank < spec.k))
+    flat = ids * spec.k + jnp.minimum(rank, spec.k - 1)
+    safe = jnp.where(valid, flat, 0)
+    size = spec.n_tiles * spec.k
+    planes = {}
+    for name, val in vals.items():
+        planes[name] = jnp.zeros((size,), jnp.float32).at[safe].add(
+            jnp.where(valid, val, 0.0)).reshape(spec.plane_shape)
+    planes["mask"] = jnp.zeros((size,), jnp.float32).at[safe].max(
+        jnp.where(valid, 1.0, 0.0)).reshape(spec.plane_shape)
+    return planes, (flat, valid), overflow
+
+
+# ---------------------------------------------------------------------------
+# the splat pair function (slot-row x pixel-row dense blocks)
+# ---------------------------------------------------------------------------
+
+
+def _splat_pair(spec: TileSpec, sharpness: float, depth_falloff: float):
+    half = spec.patch // 2
+
+    def pair(s, px, py):
+        """s: slot channels (128, 1); px: (1, 128) pixel x centers; py:
+        python float pixel y center. -> 6 (128, 128) contribution blocks."""
+        dxp = px - s["u"]                     # pixel-center offsets
+        dyp = py - s["v"]
+        # Empty slots carry r = 0; guard the divide or inf/inf turns the
+        # masked-out contribution into NaN (0 * NaN != 0). Live slots have
+        # r >= 0.75 (the projection clip), so the floor is inert for them.
+        r_safe = jnp.maximum(s["r"], 0.5)
+        ox = dxp / r_safe
+        oy = dyp / r_safe
+        r2 = ox * ox + oy * oy
+        cov = jax.nn.sigmoid(sharpness * (1.0 - r2))
+        inside = (1.0 - r2) > 1e-6
+        oz = jnp.where(inside,
+                       jnp.sqrt(jnp.where(inside, 1.0 - r2, 1.0)), 0.0)
+        nlen = jnp.maximum(jnp.sqrt(ox * ox + oy * oy + oz * oz), 1e-6)
+        cr = ox / nlen * 0.5 + 0.5            # normal shading (frag parity)
+        cg = -oy / nlen * 0.5 + 0.5
+        cb = oz / nlen * 0.5 + 0.5
+        # Patch cutoff: the XLA path only ever samples the patch box —
+        # match it exactly so the two backends are interchangeable.
+        in_patch = ((jnp.abs(dxp - 0.5 + s["u"] - jnp.floor(s["u"])) <= half)
+                    & (jnp.abs(dyp - 0.5 + s["v"] - jnp.floor(s["v"])) <= half))
+        live = s["mask"] * in_patch.astype(jnp.float32)
+        w = cov * jnp.exp(-depth_falloff * s["z"]) * live
+        a = cov * live
+        return (cr * w, cg * w, cb * w, w, a, w * s["z"])
+
+    return pair
+
+
+# Patch-box membership, restated: the XLA path samples pixels
+# floor(u) - half + {0..patch-1}; pixel px is sampled iff
+# |px - floor(u) - (patch//2 - half)| ... equivalently
+# floor(u) - half <= px <= floor(u) + half. The pair above encodes this as
+# |px + 0.5 - u + (u - floor(u)) - 0.5| <= half  ==  |px - floor(u)| <= half.
+
+
+def _bwd_splat_pair(pair_fn, grad_names):
+    def pair(s, px, py, cts):
+        primal = {k: v for k, v in s.items()}
+        _, vjp = jax.vjp(lambda ss: pair_fn(ss, px, py), primal)
+        shape = jnp.broadcast_shapes(s["u"].shape, px.shape)
+        grads = vjp(tuple(jnp.broadcast_to(c, shape) for c in cts))[0]
+        return tuple(grads[g] for g in grad_names)
+
+    return pair
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+
+def _col(v):
+    return jnp.transpose(v, (1, 0))
+
+
+def _fwd_kernel(spec: TileSpec, sharpness: float, depth_falloff: float):
+    pair = _splat_pair(spec, sharpness, depth_falloff)
+    k_sub, th = spec.k_sub, spec.th
+
+    def kernel(u_ref, v_ref, z_ref, r_ref, m_ref, *out_refs):
+        for o in out_refs:
+            o[0] = jnp.zeros((th, 128), jnp.float32)
+        px = jax.lax.broadcasted_iota(
+            jnp.int32, (1, 128), 1).astype(jnp.float32) + 0.5
+        for sr in range(k_sub):
+            row_any = jnp.max(m_ref[0, sr]) > 0.0
+
+            @pl.when(row_any)
+            def _(sr=sr):
+                s = {
+                    "u": _col(u_ref[0, sr:sr + 1, :]),
+                    "v": _col(v_ref[0, sr:sr + 1, :]),
+                    "z": _col(z_ref[0, sr:sr + 1, :]),
+                    "r": _col(r_ref[0, sr:sr + 1, :]),
+                    "mask": _col(m_ref[0, sr:sr + 1, :]),
+                }
+                for pr in range(th):
+                    contribs = pair(s, px, pr + 0.5)
+                    for o, c in zip(out_refs, contribs):
+                        o[0, pr:pr + 1, :] += jnp.sum(c, axis=0,
+                                                      keepdims=True)
+
+    return kernel
+
+
+def _bwd_kernel(spec: TileSpec, sharpness: float, depth_falloff: float,
+                grad_names):
+    pair = _bwd_splat_pair(_splat_pair(spec, sharpness, depth_falloff),
+                           grad_names)
+    k_sub, th = spec.k_sub, spec.th
+
+    def kernel(u_ref, v_ref, z_ref, r_ref, m_ref, *ct_and_out):
+        ct_refs = ct_and_out[:6]
+        out_refs = ct_and_out[6:]
+        px = jax.lax.broadcasted_iota(
+            jnp.int32, (1, 128), 1).astype(jnp.float32) + 0.5
+        for o in out_refs:
+            o[0] = jnp.zeros((k_sub, 128), jnp.float32)
+        for sr in range(k_sub):
+            row_any = jnp.max(m_ref[0, sr]) > 0.0
+
+            @pl.when(row_any)
+            def _(sr=sr):
+                s = {
+                    "u": _col(u_ref[0, sr:sr + 1, :]),
+                    "v": _col(v_ref[0, sr:sr + 1, :]),
+                    "z": _col(z_ref[0, sr:sr + 1, :]),
+                    "r": _col(r_ref[0, sr:sr + 1, :]),
+                    "mask": _col(m_ref[0, sr:sr + 1, :]),
+                }
+                accs = [jnp.zeros((128, 1), jnp.float32)
+                        for _ in grad_names]
+                for pr in range(th):
+                    cts = tuple(c[0, pr:pr + 1, :] for c in ct_refs)
+                    grads = pair(s, px, pr + 0.5, cts)
+                    accs = [a + jnp.sum(g, axis=1, keepdims=True)
+                            for a, g in zip(accs, grads)]
+                for o, a in zip(out_refs, accs):
+                    o[0, sr:sr + 1, :] = _col(a)
+
+    return kernel
+
+
+_GRADS = ("u", "v", "z", "r")
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _rasterize(planes, spec: TileSpec, sharpness: float,
+               depth_falloff: float):
+    """Slot planes -> 6 accumulator planes (n_tiles, th, 128):
+    num_r, num_g, num_b, den, acc_a, acc_z."""
+    out_shape = [jax.ShapeDtypeStruct((spec.n_tiles, spec.th, 128),
+                                      jnp.float32)] * 6
+    return tuple(pl.pallas_call(
+        _fwd_kernel(spec, sharpness, depth_falloff),
+        grid=(spec.n_tiles,),
+        in_specs=[pl.BlockSpec((1, spec.k_sub, 128), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM)] * 5,
+        out_specs=[pl.BlockSpec((1, spec.th, 128), lambda t: (t, 0, 0),
+                                memory_space=pltpu.VMEM)] * 6,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*[planes[n] for n in _CHANNELS]))
+
+
+def _rasterize_fwd(planes, spec, sharpness, depth_falloff):
+    return _rasterize(planes, spec, sharpness, depth_falloff), planes
+
+
+def _rasterize_bwd(spec, sharpness, depth_falloff, planes, cts):
+    out_shape = [jax.ShapeDtypeStruct(spec.plane_shape, jnp.float32)] * len(
+        _GRADS)
+    grads = pl.pallas_call(
+        _bwd_kernel(spec, sharpness, depth_falloff, _GRADS),
+        grid=(spec.n_tiles,),
+        in_specs=[pl.BlockSpec((1, spec.k_sub, 128), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM)] * 5
+        + [pl.BlockSpec((1, spec.th, 128), lambda t: (t, 0, 0),
+                        memory_space=pltpu.VMEM)] * 6,
+        out_specs=[pl.BlockSpec((1, spec.k_sub, 128), lambda t: (t, 0, 0),
+                                memory_space=pltpu.VMEM)] * len(_GRADS),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*([planes[n] for n in _CHANNELS] + list(cts)))
+    m = planes["mask"]
+    out = {n: jnp.where(m > 0, g, 0.0) for n, g in zip(_GRADS, grads)}
+    out["mask"] = jnp.zeros_like(m)
+    return (out,)
+
+
+_rasterize.defvjp(_rasterize_fwd, _rasterize_bwd)
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("width", "height", "patch", "k",
+                                  "return_overflow"))
+def splat_particles_tiled(
+    pos: jnp.ndarray,
+    radius,
+    cam: Camera,
+    width: int = 256,
+    height: int = 256,
+    background=(0.1, 0.1, 0.1),
+    patch: int = 9,
+    sharpness: float = 12.0,
+    depth_falloff: float = 2.0,
+    k: int = 2048,
+    return_overflow: bool = False,
+):
+    """Drop-in fast path for render/splat.splat_particles (normal-shaded
+    variant): same image, same gradients to positions/radius, rasterized by
+    the Pallas tile kernel. `k` is the per-tile entry capacity — entries
+    beyond it are dropped and counted (pass return_overflow=True to size it;
+    a dense 512k dam break at 1080p peaks well under the default)."""
+    n = pos.shape[0]
+    radius = jnp.broadcast_to(jnp.asarray(radius, jnp.float32), (n,))
+    spec = TileSpec(width=width, height=height, k=k, patch=patch)
+    u, v, depth, focal = _project(cam, pos, width, height)
+    in_front = depth > 1e-3
+    pix_r = jnp.clip(radius * focal / jnp.maximum(depth, 1e-3),
+                     0.75, patch / 2.0)
+    zmin = jnp.min(jnp.where(in_front, depth, jnp.inf))
+    z_norm = depth - zmin
+
+    planes, _, overflow = bin_tile_entries(u, v, z_norm, pix_r, in_front,
+                                           spec)
+    num_r, num_g, num_b, den, acc_a, acc_z = _rasterize(
+        planes, spec, sharpness, depth_falloff)
+
+    def to_image(t):
+        return t.reshape(spec.nty, spec.ntx, spec.th, spec.tw).transpose(
+            0, 2, 1, 3).reshape(height, width)
+
+    den_i = to_image(den)
+    den_safe = jnp.maximum(den_i, 1e-8)
+    mean_col = jnp.stack([to_image(num_r), to_image(num_g), to_image(num_b)],
+                         axis=-1) / den_safe[..., None]
+    alpha = 1.0 - jnp.exp(-to_image(acc_a))
+    bg = jnp.asarray(background, jnp.float32)
+    color = mean_col * alpha[..., None] + bg * (1.0 - alpha[..., None])
+    mean_z = to_image(acc_z) / den_safe + zmin
+    img = SplatImage(color=color, alpha=alpha, depth=mean_z)
+    if return_overflow:
+        return img, overflow
+    return img

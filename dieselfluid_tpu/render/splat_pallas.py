@@ -164,7 +164,12 @@ def bin_tile_entries(u, v, z_norm, pix_r, in_front, spec: TileSpec):
 # ---------------------------------------------------------------------------
 
 
-def _splat_pair(spec: TileSpec, sharpness: float, depth_falloff: float):
+def _splat_pair(spec: TileSpec, sharpness: float, depth_falloff: float,
+                emit_normals: bool = False):
+    """emit_normals adds 3 accumulator outputs (w * sphere-normal) for the
+    DEFERRED environment-lighting variant: the kernel emits a normal
+    G-buffer and XLA applies the SH sky per PIXEL afterwards — sky-texel
+    and camera gradients stay in XLA, the kernel stays gather-free."""
     half = spec.patch // 2
 
     def pair(s, px, py):
@@ -194,7 +199,10 @@ def _splat_pair(spec: TileSpec, sharpness: float, depth_falloff: float):
         live = s["mask"] * in_patch.astype(jnp.float32)
         w = cov * jnp.exp(-depth_falloff * s["z"]) * live
         a = cov * live
-        return (cr * w, cg * w, cb * w, w, a, w * s["z"])
+        base = (cr * w, cg * w, cb * w, w, a, w * s["z"])
+        if emit_normals:
+            return base + (w * ox / nlen, w * (-oy) / nlen, w * oz / nlen)
+        return base
 
     return pair
 
@@ -226,8 +234,9 @@ def _col(v):
     return jnp.transpose(v, (1, 0))
 
 
-def _fwd_kernel(spec: TileSpec, sharpness: float, depth_falloff: float):
-    pair = _splat_pair(spec, sharpness, depth_falloff)
+def _fwd_kernel(spec: TileSpec, sharpness: float, depth_falloff: float,
+                emit_normals: bool):
+    pair = _splat_pair(spec, sharpness, depth_falloff, emit_normals)
     k_sub, th = spec.k_sub, spec.th
 
     def kernel(u_ref, v_ref, z_ref, r_ref, m_ref, *out_refs):
@@ -257,14 +266,16 @@ def _fwd_kernel(spec: TileSpec, sharpness: float, depth_falloff: float):
 
 
 def _bwd_kernel(spec: TileSpec, sharpness: float, depth_falloff: float,
-                grad_names):
-    pair = _bwd_splat_pair(_splat_pair(spec, sharpness, depth_falloff),
-                           grad_names)
+                grad_names, emit_normals: bool):
+    pair = _bwd_splat_pair(
+        _splat_pair(spec, sharpness, depth_falloff, emit_normals),
+        grad_names)
     k_sub, th = spec.k_sub, spec.th
+    n_out = 9 if emit_normals else 6
 
     def kernel(u_ref, v_ref, z_ref, r_ref, m_ref, *ct_and_out):
-        ct_refs = ct_and_out[:6]
-        out_refs = ct_and_out[6:]
+        ct_refs = ct_and_out[:n_out]
+        out_refs = ct_and_out[n_out:]
         px = jax.lax.broadcasted_iota(
             jnp.int32, (1, 128), 1).astype(jnp.float32) + 0.5
         for o in out_refs:
@@ -297,40 +308,45 @@ def _bwd_kernel(spec: TileSpec, sharpness: float, depth_falloff: float,
 _GRADS = ("u", "v", "z", "r")
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
 def _rasterize(planes, spec: TileSpec, sharpness: float,
-               depth_falloff: float):
-    """Slot planes -> 6 accumulator planes (n_tiles, th, 128):
-    num_r, num_g, num_b, den, acc_a, acc_z."""
+               depth_falloff: float, emit_normals: bool = False):
+    """Slot planes -> accumulator planes (n_tiles, th, 128): num_r, num_g,
+    num_b, den, acc_a, acc_z (+ wn_x, wn_y, wn_z with emit_normals)."""
+    n_out = 9 if emit_normals else 6
     out_shape = [jax.ShapeDtypeStruct((spec.n_tiles, spec.th, 128),
-                                      jnp.float32)] * 6
+                                      jnp.float32)] * n_out
     return tuple(pl.pallas_call(
-        _fwd_kernel(spec, sharpness, depth_falloff),
+        _fwd_kernel(spec, sharpness, depth_falloff, emit_normals),
         grid=(spec.n_tiles,),
         in_specs=[pl.BlockSpec((1, spec.k_sub, 128), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM)] * 5,
         out_specs=[pl.BlockSpec((1, spec.th, 128), lambda t: (t, 0, 0),
-                                memory_space=pltpu.VMEM)] * 6,
+                                memory_space=pltpu.VMEM)] * n_out,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(*[planes[n] for n in _CHANNELS]))
 
 
-def _rasterize_fwd(planes, spec, sharpness, depth_falloff):
-    return _rasterize(planes, spec, sharpness, depth_falloff), planes
+def _rasterize_fwd(planes, spec, sharpness, depth_falloff,
+                   emit_normals=False):
+    return _rasterize(planes, spec, sharpness, depth_falloff,
+                      emit_normals), planes
 
 
-def _rasterize_bwd(spec, sharpness, depth_falloff, planes, cts):
+def _rasterize_bwd(spec, sharpness, depth_falloff, emit_normals, planes,
+                   cts):
+    n_out = 9 if emit_normals else 6
     out_shape = [jax.ShapeDtypeStruct(spec.plane_shape, jnp.float32)] * len(
         _GRADS)
     grads = pl.pallas_call(
-        _bwd_kernel(spec, sharpness, depth_falloff, _GRADS),
+        _bwd_kernel(spec, sharpness, depth_falloff, _GRADS, emit_normals),
         grid=(spec.n_tiles,),
         in_specs=[pl.BlockSpec((1, spec.k_sub, 128), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM)] * 5
         + [pl.BlockSpec((1, spec.th, 128), lambda t: (t, 0, 0),
-                        memory_space=pltpu.VMEM)] * 6,
+                        memory_space=pltpu.VMEM)] * n_out,
         out_specs=[pl.BlockSpec((1, spec.k_sub, 128), lambda t: (t, 0, 0),
                                 memory_space=pltpu.VMEM)] * len(_GRADS),
         out_shape=out_shape,
@@ -365,12 +381,24 @@ def splat_particles_tiled(
     depth_falloff: float = 2.0,
     k: int = 2048,
     return_overflow: bool = False,
+    env_cube=None,
+    env_diffuse: float = 0.75,
+    env_specular: float = 0.35,
 ):
     """Drop-in fast path for render/splat.splat_particles (normal-shaded
     variant): same image, same gradients to positions/radius, rasterized by
     the Pallas tile kernel. `k` is the per-tile entry capacity — entries
     beyond it are dropped and counted (pass return_overflow=True to size it;
-    a dense 512k dam break at 1080p peaks well under the default)."""
+    a dense 512k dam break at 1080p peaks well under the default).
+
+    `env_cube` lights the splats DEFERRED: the kernel additionally emits a
+    weighted-normal G-buffer, XLA normalizes it per pixel, and the SH9 sky
+    (render/sh.py) shades the blended normal — sky-texel/camera gradients
+    stay in plain XLA while the kernel stays gather-free. This shades the
+    OIT-blended normal instead of blending per-sample shaded colors (the
+    XLA path's semantics): identical for isolated splats, a smooth
+    approximation where splats overlap.
+    """
     n = pos.shape[0]
     radius = jnp.broadcast_to(jnp.asarray(radius, jnp.float32), (n,))
     spec = TileSpec(width=width, height=height, k=k, patch=patch)
@@ -383,8 +411,9 @@ def splat_particles_tiled(
 
     planes, _, overflow = bin_tile_entries(u, v, z_norm, pix_r, in_front,
                                            spec)
-    num_r, num_g, num_b, den, acc_a, acc_z = _rasterize(
-        planes, spec, sharpness, depth_falloff)
+    emit_normals = env_cube is not None
+    accs = _rasterize(planes, spec, sharpness, depth_falloff, emit_normals)
+    num_r, num_g, num_b, den, acc_a, acc_z = accs[:6]
 
     def to_image(t):
         return t.reshape(spec.nty, spec.ntx, spec.th, spec.tw).transpose(
@@ -394,6 +423,31 @@ def splat_particles_tiled(
     den_safe = jnp.maximum(den_i, 1e-8)
     mean_col = jnp.stack([to_image(num_r), to_image(num_g), to_image(num_b)],
                          axis=-1) / den_safe[..., None]
+    if emit_normals:
+        from dieselfluid_tpu.render.sh import eval_sh9, project_sh9
+
+        mean_n = jnp.stack([to_image(a) for a in accs[6:9]], axis=-1) \
+            / den_safe[..., None]
+        # where-trick on the normalization: d|x|/dx at x=0 is NaN, and empty
+        # pixels have a zero blended normal — 0 * NaN still poisons grads.
+        n2 = jnp.sum(mean_n * mean_n, axis=-1, keepdims=True)
+        has_n = n2 > 1e-12
+        nrm = jnp.where(
+            has_n,
+            mean_n * jax.lax.rsqrt(jnp.where(has_n, n2, 1.0)),
+            0.0)
+        R = cam.view_matrix()[:3, :3]
+        nz = nrm[..., 2:3]
+        r_view = jnp.concatenate(
+            [-2.0 * nz * nrm[..., 0:1], -2.0 * nz * nrm[..., 1:2],
+             1.0 - 2.0 * nz * nz], axis=-1)
+        coeffs = project_sh9(env_cube)
+        env_n = eval_sh9(coeffs, nrm @ R)
+        env_r = eval_sh9(coeffs, r_view @ R)
+        lit = (mean_col * ((1.0 - env_diffuse) + env_diffuse * env_n)
+               + env_specular * env_r)
+        # Only where there is fluid: empty pixels keep the background.
+        mean_col = jnp.where(den_i[..., None] > 1e-8, lit, mean_col)
     alpha = 1.0 - jnp.exp(-to_image(acc_a))
     bg = jnp.asarray(background, jnp.float32)
     color = mean_col * alpha[..., None] + bg * (1.0 - alpha[..., None])

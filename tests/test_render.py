@@ -354,3 +354,33 @@ class TestTiledRasterizer:
             _, ovf = splat_particles_tiled(pos, 0.05, cam, 256, 256, k=128,
                                            return_overflow=True)
         assert int(ovf) > 0
+
+    def test_deferred_env_matches_forward_on_sparse_splats(self):
+        """Deferred SH lighting (tiled path shades the blended normal)
+        equals the XLA path's forward shading wherever splats don't overlap,
+        and both position AND sky-texel gradients are finite/nonzero."""
+        from dieselfluid_tpu.render.splat_pallas import splat_particles_tiled
+        from jax.experimental.pallas import tpu as pltpu
+
+        cam = Camera.at((0.0, 0.0, -2.0), front=(0.0, 0.0, 1.0),
+                        fov_deg=60.0, aspect=1.0)
+        pos = jnp.asarray([[-0.4, 0.0, 0.0], [0.4, 0.2, 0.1],
+                           [0.0, -0.4, -0.2]], jnp.float32)
+        cube = jax.random.uniform(jax.random.PRNGKey(1), (6, 4, 4, 3),
+                                  jnp.float32)
+        a = splat_particles(pos, 0.08, cam, 128, 128, env_cube=cube)
+        with pltpu.force_tpu_interpret_mode():
+            b = splat_particles_tiled(pos, 0.08, cam, 128, 128, k=128,
+                                      env_cube=cube)
+        np.testing.assert_allclose(np.asarray(a.color), np.asarray(b.color),
+                                   atol=1e-5)
+
+        def loss(p, c):
+            img = splat_particles_tiled(p, 0.08, cam, 128, 128, k=128,
+                                        env_cube=c)
+            return jnp.sum(img.color ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            gp, gc = jax.grad(loss, argnums=(0, 1))(pos, cube)
+        assert bool(jnp.isfinite(gp).all()) and float(jnp.abs(gp).max()) > 0
+        assert bool(jnp.isfinite(gc).all()) and float(jnp.abs(gc).max()) > 0

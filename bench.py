@@ -55,21 +55,36 @@ def bench_dense_wcsph(n3: int, steps: int, capacity: int = 16):
     s, diag = step(state)
     np.asarray(s.pos)                      # hard sync (compile + first step)
     overflow = [diag.overflow]
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        s, diag = step(s)
-        overflow.append(diag.overflow)
-    np.asarray(s.pos)                      # hard sync
-    dt = time.perf_counter() - t0
+    # Median of 3 timed windows with spread: round-3 review saw single-run
+    # spread of 2.13M vs 2.98M psteps/s for one config (round-3 verdict,
+    # weak #2) — a single window is not a number.
+    windows = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            s, diag = step(s)
+            overflow.append(diag.overflow)
+        np.asarray(s.pos)                  # hard sync
+        windows.append(time.perf_counter() - t0)
     assert np.isfinite(np.asarray(s.pos)).all(), "non-finite trajectory"
     n = s.pos.shape[0]
+    dt = float(np.median(windows))
     return {"n": n, "steps": steps, "ms_per_step": dt / steps * 1e3,
             "psteps_per_sec": n * steps / dt,
+            "psteps_per_sec_min": n * steps / max(windows),
+            "psteps_per_sec_max": n * steps / min(windows),
             "max_overflow": int(np.max(np.asarray(overflow)))}
 
 
-def bench_dense_pcisph(n3: int, steps: int, capacity: int = 16):
+def bench_dense_pcisph(n3: int, steps: int, capacity: int = 16,
+                       burnin: int = 40):
     """PCISPH on the Pallas dense pipeline (BASELINE config 4's solver).
+
+    `burnin` untimed steps first: a dam break started from the lattice is
+    quiescent (mean_iters ~1.2) for its first ~30 steps, which flattered the
+    round-3 number (1.63M psteps/s over steps 0-40 vs 1.02M sustained) —
+    round-3 verdict, weak #1. The timed window now starts at step `burnin`
+    (agitated regime; report mean_iters so the regime is visible).
 
     d0 is the equilibrium lattice density (neighbors.calibrate): the round-2
     bench inflated d0 by 1.1x, which made the correction loop compress the
@@ -97,12 +112,20 @@ def bench_dense_pcisph(n3: int, steps: int, capacity: int = 16):
     off = params.h / 4.0
     spec = DenseCellSpec.for_domain((-1 - off,) * 3, (1 + off,) * 3, params.h,
                                     capacity=capacity)
+    # column_skip: converged regions (tol/10 hysteresis) stop re-sweeping —
+    # production flagship mode, parity-tested against the ungated loop.
     step = jax.jit(lambda s: dense_pcisph_step(s, params, spec, delta,
-                                               warm_start=True))
+                                               warm_start=True,
+                                               column_skip=True))
 
     s, diag = step(state)
-    np.asarray(s.pos)
-    overflow, iters = [diag.overflow], [diag.iters]
+    np.asarray(s.pos)                      # hard sync (compile + first step)
+    overflow = [diag.overflow]
+    for _ in range(burnin):
+        s, diag = step(s)
+        overflow.append(diag.overflow)
+    np.asarray(s.pos)                      # burn-in complete, hard sync
+    iters = []
     t0 = time.perf_counter()
     for _ in range(steps):
         s, diag = step(s)
@@ -112,39 +135,12 @@ def bench_dense_pcisph(n3: int, steps: int, capacity: int = 16):
     dt = time.perf_counter() - t0
     assert np.isfinite(np.asarray(s.pos)).all(), "non-finite trajectory"
     n = s.pos.shape[0]
-    return {"n": n, "steps": steps, "ms_per_step": dt / steps * 1e3,
+    return {"n": n, "steps": steps, "burnin": burnin,
+            "window": f"steps {burnin + 1}-{burnin + steps} of a dam break",
+            "ms_per_step": dt / steps * 1e3,
             "psteps_per_sec": n * steps / dt,
             "max_overflow": int(np.max(np.asarray(overflow))),
             "mean_iters": float(np.mean(np.asarray(iters)))}
-
-
-def bench_render_1080p(n_particles: int = 4096, frames: int = 5):
-    """Forward+backward differentiable splat render at 1920x1080."""
-    import jax
-    import jax.numpy as jnp
-
-    from dieselfluid_tpu.render.camera import Camera
-    from dieselfluid_tpu.render.splat import splat_particles
-
-    key = jax.random.PRNGKey(0)
-    pos = jax.random.uniform(key, (n_particles, 3), jnp.float32, -0.5, 0.5)
-    cam = Camera.at((0.0, 0.0, -2.5), front=(0.0, 0.0, 1.0),
-                    fov_deg=60.0, aspect=1920.0 / 1080.0)
-    target = jnp.zeros((1080, 1920, 3), jnp.float32)
-
-    def loss(p):
-        img = splat_particles(p, 0.02, cam, width=1920, height=1080)
-        return jnp.sum((img.color - target) ** 2)
-
-    g = jax.jit(jax.grad(loss))
-    np.asarray(g(pos))                     # compile + first frame
-    t0 = time.perf_counter()
-    for _ in range(frames):
-        out = g(pos)
-    np.asarray(out)
-    dt = time.perf_counter() - t0
-    return {"n": n_particles, "frames": frames,
-            "fwd_bwd_ms_per_frame": dt / frames * 1e3}
 
 
 def bench_sim_render_fwd_bwd(n3: int = 80, frames: int = 3):
@@ -389,11 +385,16 @@ def main():
         # 8x the baseline scale on ONE chip (plane set ~7G of 16G HBM);
         # measured 3.42M psteps/s — per-particle cost IMPROVES with size.
         ("dense_8m", bench_dense_wcsph, {"n3": 200, "steps": 5}),
-        # 40 steps spans both phases (early 1-iteration equilibrium steps and
-        # the 5-iteration compression regime from ~step 32 — see mean_iters);
-        # measured on v5e: 975 ms/step averaged over 60 steps, overflow 0.
-        ("dense_pcisph_1m", bench_dense_pcisph, {"n3": 100, "steps": 40}),
-        ("render_1080p_fwd_bwd", bench_render_1080p, {}),
+        # Sustained flagship number: 100 timed steps AFTER a 40-step burn-in
+        # so the window is the agitated dam-break regime (round-3 verdict,
+        # weak #1: the old 0-40 window was ~80% quiescent and read 1.6x the
+        # sustained rate). mean_iters in the result shows the regime.
+        ("dense_pcisph_1m", bench_dense_pcisph,
+         {"n3": 100, "steps": 100, "burnin": 40}),
+        # BASELINE line 2 (fwd+bwd 1080p render) is the 512k entry below —
+        # the old 4k-particle "render_1080p_fwd_bwd" entry was retired
+        # (round-3 verdict, weak #8: it wore the baseline's name at 1/128th
+        # the particle count).
         ("sim_render_512k_fwd_bwd_1080p", bench_sim_render_fwd_bwd, {}),
         ("composite_1080p_fwd_bwd", bench_composite_1080p, {}),
         ("pcisph_materials_grad_1m", bench_pcisph_materials_grad_1m, {}),
@@ -412,8 +413,13 @@ def main():
     pci = details.get("dense_pcisph_1m", {})
     if "psteps_per_sec" in pci:
         # Both solvers' standing vs the 1M-psteps/s target in the headline
-        # (the north-star flagship config is PCISPH).
-        metric += (f" | pcisph 1M: {pci['psteps_per_sec']:.0f} psteps/s "
+        # (the north-star flagship config is PCISPH). The window and regime
+        # (mean correction iterations) are stated so the number cannot be
+        # mistaken for a quiescent-lattice run (round-3 verdict, weak #1).
+        metric += (f" | pcisph 1M sustained ({pci['steps']} steps after "
+                   f"{pci['burnin']}-step burn-in, mean_iters "
+                   f"{pci['mean_iters']:.2f}): "
+                   f"{pci['psteps_per_sec']:.0f} psteps/s "
                    f"= {pci['psteps_per_sec'] / TARGET_PSTEPS_PER_SEC:.2f}x "
                    f"target, overflow {pci['max_overflow']}")
     print(json.dumps({

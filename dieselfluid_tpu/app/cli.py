@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="PCISPH: carry pressure across frames (fewer "
                         "correction iterations; deviates from the "
                         "reference's per-frame Press=0 reset)")
+    p.add_argument("--column-skip", action="store_true",
+                   help="dense PCISPH: skip re-sweeping converged regions "
+                        "(tol/10 freeze threshold; production flagship "
+                        "mode, parity-tested against the ungated loop)")
     p.add_argument("--viewer", action="store_true",
                    help="install the WebGL trajectory viewer next to the "
                         "outputs (serve with python -m "
@@ -85,7 +89,8 @@ def main(argv=None) -> int:
     from dieselfluid_tpu.render.splat import splat_particles
 
     config = SimConfig(n3=args.n3, solver=args.solver, neighbors=args.neighbors,
-                       warm_start=args.warm_start)
+                       warm_start=args.warm_start,
+                       column_skip=args.column_skip)
     sim = Simulation.create(config, extent=args.extent, scene=args.scene)
     if args.resume:
         state, step, params, cfg = load_checkpoint(args.resume)

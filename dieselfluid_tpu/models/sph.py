@@ -43,7 +43,8 @@ def build_step_fn(config: SimConfig, params: FluidParams, delta: float = 0.0,
         if config.solver == "pcisph":
             return lambda s: dense_pcisph_step(s, params, dspec, delta,
                                                collider=collider,
-                                               warm_start=config.warm_start)
+                                               warm_start=config.warm_start,
+                                               column_skip=config.column_skip)
         return lambda s: dense_wcsph_step(s, params, dspec, collider=collider)
 
     if config.neighbors == "cellgrid":

@@ -72,8 +72,14 @@ class DenseCellSpec:
 
     @property
     def sub(self) -> int:
-        """Sublane rows per (x,y) column: interior z blocks + one ghost each side."""
-        return self.nz_padded // self.z_block + 2
+        """Sublane rows per (x,y) column: interior z blocks + one ghost each
+        side, rounded UP to a multiple of 8 (the f32 sublane tile) so the
+        funnel sweep's (P, sub, 128) -> (P*sub, 128) reshape is a free
+        tile-aligned collapse. The extra rows are additional empty ghost
+        rows at the top of the column (mask 0 — never indexed by
+        dense_indices)."""
+        raw = self.nz_padded // self.z_block + 2
+        return ((raw + 7) // 8) * 8
 
     @property
     def row_len(self) -> int:
@@ -136,6 +142,41 @@ def build_planes(values: Dict[str, jnp.ndarray], flat, valid,
     for name, v in values.items():
         plane = jnp.zeros((size,), jnp.float32).at[safe].add(jnp.where(valid, v, 0.0))
         out[name] = plane.reshape(spec.plane_shape)
+    return out
+
+
+def slot_particle_map(flat, valid, spec: DenseCellSpec) -> jnp.ndarray:
+    """Inverse binning: per-SLOT particle index (int32; -1 = empty slot).
+
+    Slot 0 is a ghost-ring slot (rows index from the +1 ghost ring), so the
+    scatter-max of invalid particles parked at slot 0 can never shadow a
+    real particle.
+
+    NOTE (round-4 measurement): building planes by GATHERING through this
+    map (16M slot-indexed loads from a 1M-element source) costs 2.6 s on
+    v5e — 34x the 78 ms scatter build it was meant to replace; XLA's TPU
+    gather at plane size is catastrophically slower than scatter. Kept for
+    diagnostics/tests only; every production build uses `build_planes`.
+    """
+    size = spec.rows * spec.row_len
+    safe = jnp.where(valid, flat, 0)
+    idx = jnp.arange(flat.shape[0], dtype=jnp.int32)
+    return jnp.full((size,), -1, jnp.int32).at[safe].max(
+        jnp.where(valid, idx, -1))
+
+
+def build_planes_from_map(values: Dict[str, jnp.ndarray], smap: jnp.ndarray,
+                          spec: DenseCellSpec) -> Dict[str, jnp.ndarray]:
+    """Dense planes (+ 'mask') from per-particle channels via the slot map.
+
+    Equivalent to `build_planes` (tested) but gather-based. See the
+    slot_particle_map NOTE: 34x SLOWER than build_planes on v5e at 1M —
+    do not use on the hot path."""
+    occupied = smap >= 0
+    src = jnp.where(occupied, smap, 0)
+    out = {"mask": occupied.astype(jnp.float32).reshape(spec.plane_shape)}
+    for name, v in values.items():
+        out[name] = jnp.where(occupied, v[src], 0.0).reshape(spec.plane_shape)
     return out
 
 

@@ -221,12 +221,21 @@ def _reduce_and_migrate(pos, vel, pressure, alive, dropped, overflow,
 
 
 def _wrap_dense_step(local_step, mesh, spec: DenseSlabSpec,
-                     boundary: bool = False):
+                     boundary: bool = False, materials_arg: bool = False):
     """shard_map + jit wrapper. step(slabs) ->
-    (slabs, max_vel, n_live, cell_overflow, per_slab_live)."""
+    (slabs, max_vel, n_live, cell_overflow, per_slab_live).
+
+    With materials_arg the step signature becomes step(slabs, materials)
+    and the Materials pytree rides REPLICATED (in_spec P()) into every
+    shard: under jax.grad, shard_map's transpose inserts the psum that
+    all-reduces the per-shard material cotangents — the BASELINE config-5
+    'psum-all-reduced parameter gradients' on the production decomposition,
+    produced by the partitioner rather than hand-written collectives."""
     from dieselfluid_tpu.ops.pallas_sph import sweep_vma
 
     in_specs = [P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS), P(AXIS)]
+    if materials_arg:
+        in_specs += [P()]
     if boundary:
         in_specs += [P(AXIS, None), P(AXIS)]
 
@@ -234,6 +243,10 @@ def _wrap_dense_step(local_step, mesh, spec: DenseSlabSpec,
         # Annotate every sweep's out_shape as varying over AXIS so the vma
         # checker stays ON for the whole local step — the surrounding
         # collective logic is typechecked, not silenced (round-2 weak #7).
+        # NOTE: differentiated callers must ALSO extend sweep_vma(AXIS)
+        # over the jax.grad call — the custom-VJP backward sweeps trace
+        # during transposition, outside this block (thread-local, so the
+        # outer context is visible there).
         with sweep_vma(AXIS):
             return local_step(*args)
 
@@ -245,7 +258,7 @@ def _wrap_dense_step(local_step, mesh, spec: DenseSlabSpec,
     )
 
     @jax.jit
-    def step(slabs: SlabState):
+    def step(slabs: SlabState, materials=None):
         """dropped (in slabs) = particles lost; cell_overflow = interactions
         under-resolved this step (capacity drops, nothing lost)."""
         dropped_sh = jnp.broadcast_to(slabs.dropped / spec.n_dev,
@@ -253,6 +266,8 @@ def _wrap_dense_step(local_step, mesh, spec: DenseSlabSpec,
         press = (slabs.pressure if slabs.pressure is not None
                  else jnp.zeros_like(slabs.alive))
         args = (slabs.pos, slabs.vel, press, slabs.alive, dropped_sh)
+        if materials_arg:
+            args += (materials,)
         if boundary:
             args += (slabs.boundary_pos, slabs.boundary_mask)
         pos, vel, press, alive, dropped, (max_vel, n_live, ovf, per_slab) = \
@@ -272,14 +287,29 @@ def _wrap_dense_step(local_step, mesh, spec: DenseSlabSpec,
 
 
 def make_dense_halo_wcsph_step(mesh, spec: DenseSlabSpec, params: FluidParams,
-                               boundary: bool = False):
+                               boundary: bool = False,
+                               materials_arg: bool = False):
     """Jitted shard_map'ed WCSPH step over slab state, on the Pallas dense
-    kernels with plane-column halo exchange."""
+    kernels with plane-column halo exchange.
+
+    materials_arg=True: step(slabs, materials) with a TRACED replicated
+    Materials pytree — every material scale applies outside the sweeps
+    (factored kernels), so `jax.grad` differentiates the distributed step
+    w.r.t. mass/mu/d0/gamma/w and the per-shard cotangents are psum'd by
+    the shard_map transpose (see _wrap_dense_step). Differentiating callers
+    must wrap the grad call in `sweep_vma(AXIS)`."""
     lspec = spec.local_spec
     k = KernelCoeffs.build(params.h)
-    d0, gamma, w = params.d0, params.tait_gamma, params.tait_w
 
-    def local_step(pos, vel, press_in, alive, dropped, *b):
+    def local_step(pos, vel, press_in, alive, dropped, *rest):
+        if materials_arg:
+            mats, b = rest[0], rest[1:]
+            mass, mu = mats.mass, mats.mu
+            d0, gamma, w = mats.d0, mats.tait_gamma, mats.tait_w
+        else:
+            mats, b = None, rest
+            mass, mu = params.mass, params.mu
+            d0, gamma, w = params.d0, params.tait_gamma, params.tait_w
         bpos, bmask = b if boundary else (None, None)
         entries, flat, valid, live_all, overflow, x0 = _local_layout(
             pos, alive, spec, lspec, bpos, bmask)
@@ -295,7 +325,7 @@ def make_dense_halo_wcsph_step(mesh, spec: DenseSlabSpec, params: FluidParams,
                                ("x", "y", "z", "vx", "vy", "vz", "mask"))
         planes = _shift_ghost_x(planes, lspec, spec.slab_width)
 
-        rho_plane = density_planes(planes, lspec, k, params.mass)
+        rho_plane = density_planes(planes, lspec, k, mass)
         press_plane = jnp.where(planes["mask"] > 0,
                                 tait_eos(rho_plane, d0, params.p0, gamma, w),
                                 0.0)
@@ -303,25 +333,35 @@ def make_dense_halo_wcsph_step(mesh, spec: DenseSlabSpec, params: FluidParams,
         rho_plane = _exchange_ghost_columns(rho_plane, lspec)
         press_plane = _exchange_ghost_columns(press_plane, lspec)
 
-        fx, fy, fz = force_planes(planes, rho_plane, press_plane, lspec, k,
-                                  params.mass, float(params.mu))
+        if mats is None:
+            fx, fy, fz = force_planes(planes, rho_plane, press_plane, lspec,
+                                      k, params.mass, float(params.mu))
+        else:
+            from dieselfluid_tpu.ops.pallas_sph import viscosity_force_planes
+
+            px_, py_, pz_ = pressure_force_planes(planes, rho_plane,
+                                                  press_plane, lspec, k, mass)
+            vx_, vy_, vz_ = viscosity_force_planes(planes, rho_plane, lspec,
+                                                   k, mass, mu)
+            fx, fy, fz = px_ + vx_, py_ + vy_, pz_ + vz_
         flat_f, valid_f = flat[:nloc], valid[:nloc]
         vals = gather_planes([rho_plane, press_plane, fx, fy, fz], flat_f)
         rho = jnp.where(valid_f, vals[:, 0], d0)
         pressure = jnp.where(valid_f, vals[:, 1], 0.0)
         f = jnp.where(valid_f[:, None], vals[:, 2:5], 0.0)
-        gravity = jnp.asarray(params.gravity, jnp.float32) * params.mass
+        gravity = jnp.asarray(params.gravity, jnp.float32) * mass
         force = gravity + f
 
         state = FluidState(pos=pos, vel=vel, force=force, density=rho,
                            pressure=pressure)
-        state, diag = semi_implicit_euler(state, params)
+        state, diag = semi_implicit_euler(state, params, mass=mass)
         state = box_collide(state, (spec.lo,) * 3,
                             (spec.hi_x, spec.hi_yz, spec.hi_yz))
         return _reduce_and_migrate(pos, vel, pressure, alive, dropped,
                                    overflow, state, diag, spec)
 
-    return _wrap_dense_step(local_step, mesh, spec, boundary)
+    return _wrap_dense_step(local_step, mesh, spec, boundary,
+                            materials_arg=materials_arg)
 
 
 # ---------------------------------------------------------------------------
@@ -434,8 +474,14 @@ def make_dense_halo_pcisph_step(mesh, spec: DenseSlabSpec,
             return jax.lax.pcast(x, AXIS, to="varying") if AXIS not in getattr(
                 jax.typeof(x), "vma", (AXIS,)) else x
 
+        # warm_start mirrors halo.make_halo_pcisph_step: True resumes from
+        # the persisted SlabState pressure, False is the reference-parity
+        # per-frame cold start (ref: solver/pcisph/pcisph_darwin.go resets
+        # Press each frame). Round-3 advisor finding: the flag was accepted
+        # but never read, silently warm-starting both settings.
+        init_press = press_in * alive if warm_start else jnp.zeros_like(alive)
         init = _Carry(it=jnp.int32(0), err=jnp.float32(jnp.inf),
-                      pressure=vary(press_in * alive),
+                      pressure=vary(init_press),
                       f_p=vary(jnp.zeros_like(pos)))
         cond = lambda c: (c.it < params.pci_max_iters) & (
             c.err > params.pci_max_density_error_ratio)

@@ -76,7 +76,15 @@ def render_composite(
     splat_chunk: Optional[int] = None,
     tiled_splats_k: Optional[int] = None,
 ) -> CompositeImage:
-    """One differentiable frame: fluid + GLTF scene + sky environment."""
+    """One differentiable frame: fluid + GLTF scene + sky environment.
+
+    `tiled_splats_k` selects the Pallas tile rasterizer, which shades the
+    environment light DEFERRED: SH sky evaluated once on the OIT-blended
+    per-pixel normal, whereas the XLA path (`tiled_splats_k=None`) shades
+    each splat sample and then blends the colors. The two are pinned equal
+    only where splats do not overlap — expect small divergence on overlap
+    pixels when comparing a tiled to an untiled composite.
+    """
     scene = render_scene(
         tris, tri_normals, tri_materials, materials, cam,
         jnp.asarray(light_pos, jnp.float32), light_color=light_color,

@@ -95,11 +95,15 @@ def test_matches_single_chip_dense(setup):
     assert vdiff < 5e-3, f"max velocity divergence {vdiff:.2e}"
 
 
-def test_pcisph_matches_single_chip_dense(setup):
+@pytest.mark.parametrize("warm_start", [True, False])
+def test_pcisph_matches_single_chip_dense(setup, warm_start):
     """Distributed dense PCISPH (plane-column halos per correction iteration,
     global pmax exit, SlabState pressure warm start) vs the single-chip dense
     step on the matching global lattice — the flagship solver at scale
-    (round-2 verdict, next-step #4)."""
+    (round-2 verdict, next-step #4). Parametrized over warm_start because the
+    round-3 advisor found the sharded flag dead (always warm-starting): the
+    cold-start case pins that the sharded default now matches the
+    single-chip per-frame reset."""
     from dieselfluid_tpu.neighbors.calibrate import lattice_rest_density
     from dieselfluid_tpu.parallel.dense_halo import make_dense_halo_pcisph_step
     from dieselfluid_tpu.solvers.dense_step import dense_pcisph_step
@@ -126,14 +130,14 @@ def test_pcisph_matches_single_chip_dense(setup):
         iters = []
         for _ in range(steps):
             s, diag = dense_pcisph_step(s, params, gspec, delta,
-                                        bounds=bounds, warm_start=True)
+                                        bounds=bounds, warm_start=warm_start)
             iters.append(int(diag.iters))
         jax.block_until_ready(s.pos)
         assert max(iters) >= 2, f"loop under-exercised: {iters}"
 
         slabs = distribute_dense(s0, spec)
         step = make_dense_halo_pcisph_step(mesh, spec, params, delta,
-                                           warm_start=True)
+                                           warm_start=warm_start)
         for _ in range(steps):
             slabs, max_vel, n_live, cell_ovf, per_slab = step(slabs)
             jax.block_until_ready(slabs.pos)
@@ -297,3 +301,60 @@ def test_migration_across_faces(setup):
     alive1 = np.asarray(slabs.alive).reshape(spec.n_dev, c).sum(axis=1)
     assert alive1[0] < alive0[0]           # emigrants left shard 0
     assert alive1[1:].sum() > alive0[1:].sum()
+
+
+def test_distributed_gradients_match_single_chip(setup):
+    """jax.grad THROUGH the sharded dense WCSPH step: traced Materials ride
+    replicated into every shard, the shard_map transpose psums their
+    per-shard cotangents, and the result must match the single-chip dense
+    step's material gradients — the BASELINE config-5 'psum-all-reduced
+    parameter gradients' claim proven on the production slab decomposition
+    (round-3 verdict, next-step #3). The vma checker stays ON: sweep_vma
+    extends over the grad call so the custom-VJP backward sweeps (traced
+    during transposition) carry the axis annotation."""
+    from dieselfluid_tpu.models.materials import Materials
+    from dieselfluid_tpu.ops.pallas_sph import sweep_vma
+    from dieselfluid_tpu.parallel.dense_halo import make_dense_halo_wcsph_step
+    from dieselfluid_tpu.parallel.halo import AXIS
+
+    params, s0, spec, mesh = setup
+    mats = Materials.from_params(params)
+    gspec = DenseCellSpec.for_domain(
+        (spec.lo, spec.lo, spec.lo),
+        (spec.hi_x, spec.hi_yz, spec.hi_yz + 3.0 * spec.cell),
+        spec.cell, capacity=spec.cell_capacity)
+    bounds = ((spec.lo,) * 3, (spec.hi_x, spec.hi_yz, spec.hi_yz))
+
+    # Order-invariant loss so sharded (permuted, padded) and single-chip
+    # particle stores are directly comparable.
+    def field_loss(pos, w):
+        return jnp.sum(w * jnp.sin(3.0 * pos))
+
+    def loss_single(m):
+        nxt, _ = dense_wcsph_step(s0, params, gspec, bounds=bounds,
+                                  materials=m)
+        return field_loss(nxt.pos, 1.0)
+
+    step = make_dense_halo_wcsph_step(mesh, spec, params, materials_arg=True)
+    slabs = distribute_dense(s0, spec)
+
+    def loss_shard(m):
+        out, *_ = step(slabs, m)
+        return field_loss(out.pos, (out.alive > 0)[..., None])
+
+    with pltpu.force_tpu_interpret_mode():
+        gm_single = jax.grad(loss_single)(mats)
+        # jax.set_mesh: the transposed shard_map's scalar cotangents carry
+        # explicit 'sp' shardings, which the outer grad trace can only
+        # place inside the mesh context.
+        with jax.set_mesh(mesh), sweep_vma(AXIS):
+            gm_shard = jax.grad(loss_shard)(mats)
+        jax.block_until_ready(gm_shard)
+
+    for f in mats._fields:
+        a = float(getattr(gm_single, f))
+        b = float(getattr(gm_shard, f))
+        assert np.isfinite(a) and np.isfinite(b), (f, a, b)
+        assert a != 0.0, f"degenerate single-chip grad for {f}"
+        np.testing.assert_allclose(b, a, rtol=2e-3,
+                                   err_msg=f"material grad mismatch: {f}")

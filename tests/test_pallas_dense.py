@@ -258,3 +258,46 @@ class TestKernelsInterpreted:
         rho_o = F.density_with_self(s.pos, nb, params)
         np.testing.assert_allclose(np.asarray(rho), np.asarray(rho_o),
                                    rtol=1e-5)
+
+
+class TestColumnSkip:
+    """PCISPH convergence skipping (round-3 verdict, next-step #1)."""
+
+    def test_column_skip_tracks_ungated_loop(self, setup):
+        """column_skip=True must track the ungated while_loop to within the
+        solver's own exit tolerance (the pressure nudges it skips are the
+        sub-tolerance ones), on a slammed dam break that actually exercises
+        multiple correction iterations."""
+        from dieselfluid_tpu.neighbors.calibrate import lattice_rest_density
+        from dieselfluid_tpu.solvers.dense_step import dense_pcisph_step
+        from dieselfluid_tpu.solvers.pcisph import compute_pci_delta
+
+        n3, extent = 8, 0.5
+        dx = (2.0 / n3) * extent
+        params = lattice_rest_density(dx, FluidParams.for_spacing(dx))
+        s0 = dam_break_state(n3, params, extent=extent)
+        s0 = s0._replace(vel=s0.vel + jnp.asarray([0.0, -1.0, 0.0]))
+        delta = compute_pci_delta(params, dx)
+        spec = DenseCellSpec.for_domain((-1, -1, -1), (1, 1, 1), params.h,
+                                        capacity=16)
+        with pltpu.force_tpu_interpret_mode():
+            a, b = s0, s0
+            iters = []
+            for _ in range(3):
+                a, diag_a = dense_pcisph_step(a, params, spec, delta,
+                                              column_skip=False)
+                b, diag_b = dense_pcisph_step(b, params, spec, delta,
+                                              column_skip=True)
+                iters.append(int(diag_a.iters))
+            jax.block_until_ready(a.pos)
+        assert max(iters) >= 2, f"loop under-exercised: {iters}"
+        # The tol/10 freeze threshold keeps the skipped pressure nudges an
+        # order below the solver's own error floor: measured deviation is
+        # fp-noise (dpos ~1e-7 over 6 steps). A loose absolute bound here
+        # still catches the failure mode this guards against (freezing at
+        # the FULL tolerance produced dvel ~0.5 on this config).
+        dpos = float(jnp.abs(a.pos - b.pos).max())
+        dvel = float(jnp.abs(a.vel - b.vel).max())
+        assert np.isfinite(np.asarray(b.pos)).all()
+        assert dpos < 1e-4, f"column_skip diverged: dpos={dpos:.2e}"
+        assert dvel < 1e-3, f"column_skip diverged: dvel={dvel:.2e}"

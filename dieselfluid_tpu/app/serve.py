@@ -8,6 +8,13 @@ working equivalent of the reference's Electron shell + HTML frontend
 its sim-control handler was never wired, app.go:69-75). Here the data flow
 is file-based: the CLI exports .dfc trajectories (--stream dfc), the
 browser plays them back.
+
+LIVE MODE (round-3 verdict, next-step #9): `viewer.html?live=name.dfc`
+polls the GROWING .dfc while the CLI streams it and follows the newest
+frame — the analog of the reference's per-frame GL re-upload loop
+(ref: render/rendersystem_darwin.go:545-561 re-uploads particle positions
+every frame). The handler below adds HTTP Range support so the viewer
+fetches only the bytes new frames appended.
 """
 
 from __future__ import annotations
@@ -18,6 +25,57 @@ import http.server
 import os
 import shutil
 import sys
+
+
+class RangeRequestHandler(http.server.SimpleHTTPRequestHandler):
+    """SimpleHTTPRequestHandler + single-range `Range: bytes=a-b` GETs
+    (enough for the viewer's incremental .dfc tailing)."""
+
+    def send_head(self):
+        rng = self.headers.get("Range")
+        if not (rng and rng.startswith("bytes=")):
+            return super().send_head()
+        path = self.translate_path(self.path)
+        try:
+            f = open(path, "rb")
+        except OSError:
+            self.send_error(404, "File not found")
+            return None
+        size = os.fstat(f.fileno()).st_size
+        try:
+            lo_s, hi_s = rng[len("bytes="):].split("-", 1)
+            lo = int(lo_s)
+            hi = int(hi_s) if hi_s else size - 1
+        except ValueError:
+            f.close()
+            self.send_error(400, "Bad Range")
+            return None
+        hi = min(hi, size - 1)
+        if lo > hi or lo >= size:
+            f.close()
+            self.send_error(416, "Range Not Satisfiable")
+            return None
+        self.send_response(206)
+        self.send_header("Content-Type", self.guess_type(path))
+        self.send_header("Content-Range", f"bytes {lo}-{hi}/{size}")
+        self.send_header("Content-Length", str(hi - lo + 1))
+        self.send_header("Accept-Ranges", "bytes")
+        self.end_headers()
+        f.seek(lo)
+        self._range_left = hi - lo + 1
+        return f
+
+    def copyfile(self, source, outputfile):
+        left = getattr(self, "_range_left", None)
+        if left is None:
+            return super().copyfile(source, outputfile)
+        self._range_left = None
+        while left > 0:
+            chunk = source.read(min(left, 1 << 16))
+            if not chunk:
+                break
+            outputfile.write(chunk)
+            left -= len(chunk)
 
 VIEWER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "viewer.html")
@@ -37,7 +95,7 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=8123)
     args = p.parse_args(argv)
     install_viewer(args.dir)
-    handler = functools.partial(http.server.SimpleHTTPRequestHandler,
+    handler = functools.partial(RangeRequestHandler,
                                 directory=os.path.abspath(args.dir))
     with http.server.ThreadingHTTPServer(("127.0.0.1", args.port),
                                          handler) as srv:

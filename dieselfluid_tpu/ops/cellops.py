@@ -127,21 +127,39 @@ def dense_indices(pos: jnp.ndarray, spec: DenseCellSpec):
 
 
 def build_planes(values: Dict[str, jnp.ndarray], flat, valid,
-                 spec: DenseCellSpec) -> Dict[str, jnp.ndarray]:
+                 spec: DenseCellSpec,
+                 mask: jnp.ndarray = None) -> Dict[str, jnp.ndarray]:
     """Scatter per-particle channels into dense planes (+ a 'mask' plane).
 
     One scatter per channel. (A single (N, C) payload scatter + transpose
     was tried and measured SLOWER on v5e — 102 vs 71 ms at 1M particles —
-    the channel-minor transpose costs more than the extra scatter passes.)"""
+    the channel-minor transpose costs more than the extra scatter passes.)
+
+    Slots are unique by construction (dense_indices assigns one slot per
+    valid particle; invalid particles park in DISTINCT trash slots past the
+    plane), so every scatter runs in `unique_indices` mode — XLA skips the
+    duplicate-combining path.
+
+    `mask`: a frozen mask plane from a previous build over the SAME
+    binning (PCISPH rebuilds value planes per correction iteration while
+    the binning — and therefore the mask — is frozen for the frame);
+    passing it skips the mask scatter."""
     size = spec.rows * spec.row_len
-    safe = jnp.where(valid, flat, 0)
+    n = flat.shape[0]
+    idx = jnp.arange(n, dtype=flat.dtype)
+    safe = jnp.where(valid, flat, size + idx)
     out = {}
-    ones = jnp.where(valid, 1.0, 0.0)
-    mask = jnp.zeros((size,), jnp.float32).at[safe].max(ones)
-    out["mask"] = mask.reshape(spec.plane_shape)
+    if mask is None:
+        ones = jnp.where(valid, 1.0, 0.0)
+        m = jnp.zeros((size + n,), jnp.float32).at[safe].set(
+            ones, unique_indices=True)
+        out["mask"] = m[:size].reshape(spec.plane_shape)
+    else:
+        out["mask"] = mask
     for name, v in values.items():
-        plane = jnp.zeros((size,), jnp.float32).at[safe].add(jnp.where(valid, v, 0.0))
-        out[name] = plane.reshape(spec.plane_shape)
+        plane = jnp.zeros((size + n,), jnp.float32).at[safe].set(
+            v, unique_indices=True)
+        out[name] = plane[:size].reshape(spec.plane_shape)
     return out
 
 

@@ -106,7 +106,7 @@ def active_patch_shape(spec: DenseCellSpec) -> Tuple[int, int]:
 
 def _sweep(pair_fn: Callable, in_names: Sequence[str], n_out: int,
            planes: Sequence[jnp.ndarray], spec: DenseCellSpec,
-           active: jnp.ndarray = None, scheme: str = "half"):
+           active: jnp.ndarray = None, scheme: str = None):
     """Run `pair_fn` over the 3x3-column z-swept stencil; n_out (rows,sub,128)
     planes of per-slot sums (rows the sweep skipped — empty columns/patches
     and ghost rows — hold garbage; callers sanitize with the mask plane).
@@ -138,6 +138,12 @@ def _sweep(pair_fn: Callable, in_names: Sequence[str], n_out: int,
     nblk = sub - 2
     P = min(8, spec.ny)
     assert cap <= 64, "half-row windows assume capacity <= 64"
+    if scheme is None:
+        # v5e A/B (1M, cap 16): cheap/narrow pairs are overhead-bound and
+        # prefer one full-row block (density 38 vs 47 ms, press-only 64 vs
+        # 69); wide/expensive pairs are compute-bound and prefer half-row
+        # blocks (fused force 82 vs 114 ms).
+        scheme = "half" if n_in >= 7 else "full"
 
     n_args = n_in + (1 if active is not None else 0)
 
@@ -235,21 +241,32 @@ def _sweep(pair_fn: Callable, in_names: Sequence[str], n_out: int,
                                 @pl.when(jnp.max(own["mask"]) > 0.0)
                                 def _block(kb=kb, lo=lo, bw=bw, own=own):
                                     ww = bw + 2 * cap
+                                    # Two accumulators: elementwise pair
+                                    # functions emit (bw, ww) and get ONE
+                                    # deferred lane reduction per block;
+                                    # _bwd_pair emits (bw, 1) — its jax.vjp
+                                    # already reduced over the window, and
+                                    # adding it into a (bw, ww) accumulator
+                                    # would broadcast-inflate the gradient
+                                    # by exactly ww (round-4 bug, caught by
+                                    # the O(N^2)-reference VJP micro test).
                                     acc = [jnp.zeros((bw, ww), jnp.float32)
                                            for _ in range(n_out)]
+                                    acc1 = [jnp.zeros((bw, 1), jnp.float32)
+                                            for _ in range(n_out)]
                                     for ext in exts:
                                         cand = {n: v[:, lo:lo + ww]
                                                 for n, v in ext.items()}
                                         contrib = pair_fn(own, cand)
                                         for o in range(n_out):
-                                            acc[o] = acc[o] + contrib[o]
-                                    # ONE lane reduction per output per
-                                    # block (deferred sum), not one per
-                                    # stencil neighbor.
+                                            if contrib[o].shape[1] == 1:
+                                                acc1[o] = acc1[o] + contrib[o]
+                                            else:
+                                                acc[o] = acc[o] + contrib[o]
                                     own_m = own["mask"]
                                     for o in range(n_out):
-                                        s = jnp.sum(acc[o], axis=1,
-                                                    keepdims=True)
+                                        s = acc1[o] + jnp.sum(
+                                            acc[o], axis=1, keepdims=True)
                                         accs[o][c, kb + 1:kb + 2,
                                                 lo:lo + bw] = _col(s * own_m)
 
@@ -267,6 +284,8 @@ def _sweep(pair_fn: Callable, in_names: Sequence[str], n_out: int,
                 d.start()
                 d.wait()
 
+    import numpy as np
+
     shape = jax.ShapeDtypeStruct(spec.plane_shape, jnp.float32,
                                  vma=_current_vma())
     args = list(planes)
@@ -275,7 +294,7 @@ def _sweep(pair_fn: Callable, in_names: Sequence[str], n_out: int,
         assert active.shape == active_patch_shape(spec), active.shape
         args.append(active)
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(spec.nx, pl.cdiv(spec.ny, P)),
         in_specs=in_specs,
@@ -298,6 +317,18 @@ def _sweep(pair_fn: Callable, in_names: Sequence[str], n_out: int,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(*args)
+    # The sweep never writes the ghost ROWS of its outputs (no program owns
+    # them), so they hold uninitialized garbage. Single-chip callers kill
+    # them via the mask plane (ghost mask is 0), but SHARDED callers
+    # exchange the mask into ghost columns — mask>0 there would keep
+    # NaN-garbage alive, which the forward never reads but scale-factor
+    # gradients reduce over (0 * NaN poisoned the distributed mu grad).
+    # Zero the border here, once, for every consumer.
+    r = np.arange(spec.rows)
+    interior = ((r // py >= 1) & (r // py <= spec.nx)
+                & (r % py >= 1) & (r % py <= spec.ny))
+    border = jnp.asarray(interior.reshape(spec.rows, 1, 1))
+    return [jnp.where(border, o, 0.0) for o in outs]
 
 
 def _bwd_pair(pair_fn: Callable, n_out: int, grad_names: Sequence[str]):

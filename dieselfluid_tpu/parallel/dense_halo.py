@@ -149,6 +149,36 @@ def _exchange_all(planes: dict, spec: DenseCellSpec, names, axis=AXIS):
             for n in planes}
 
 
+def _ghost_ct_sync(plane, spec: DenseCellSpec):
+    """Identity forward; ghost-fills the COTANGENT on the backward pass.
+
+    The backward sweeps compute gradients for OWNED rows only: the
+    source-role cotangent of a cross-face pair (interior i receives from
+    ghost j) reaches j's owner through the owner's OWN backward sweep —
+    whose ct plane must then hold the receiver's cotangent in its ghost
+    columns. This op is the transpose twin of the forward ghost exchange:
+    wrap every sweep OUTPUT in the sharded step with it so each shard's
+    backward sweep sees its neighbors' cotangents. Without it the
+    distributed material/position gradients silently lose the cross-face
+    source-role terms (~6% at 4 slabs / 1k particles — round-3 verdict,
+    next-step #3, found by finite differences). The sweeps' border-zeroed
+    outputs guarantee the ordinary exchange-transpose path contributes
+    exactly zero for the same pairs, so nothing is double-counted."""
+
+    @jax.custom_vjp
+    def f(p):
+        return p
+
+    def fwd(p):
+        return p, None
+
+    def bwd(_, ct):
+        return (_exchange_ghost_columns(ct, spec),)
+
+    f.defvjp(fwd, bwd)
+    return f(plane)
+
+
 def _shift_ghost_x(planes: dict, spec: DenseCellSpec, slab_width: float):
     """x is LOCAL per shard — shift received ghost columns by +-slab_width so
     pair distances stay globally consistent. Mutates/returns planes['x']."""
@@ -325,7 +355,8 @@ def make_dense_halo_wcsph_step(mesh, spec: DenseSlabSpec, params: FluidParams,
                                ("x", "y", "z", "vx", "vy", "vz", "mask"))
         planes = _shift_ghost_x(planes, lspec, spec.slab_width)
 
-        rho_plane = density_planes(planes, lspec, k, mass)
+        rho_plane = _ghost_ct_sync(density_planes(planes, lspec, k, mass),
+                                   lspec)
         press_plane = jnp.where(planes["mask"] > 0,
                                 tait_eos(rho_plane, d0, params.p0, gamma, w),
                                 0.0)
@@ -344,6 +375,8 @@ def make_dense_halo_wcsph_step(mesh, spec: DenseSlabSpec, params: FluidParams,
             vx_, vy_, vz_ = viscosity_force_planes(planes, rho_plane, lspec,
                                                    k, mass, mu)
             fx, fy, fz = px_ + vx_, py_ + vy_, pz_ + vz_
+        fx, fy, fz = (_ghost_ct_sync(fx, lspec), _ghost_ct_sync(fy, lspec),
+                      _ghost_ct_sync(fz, lspec))
         flat_f, valid_f = flat[:nloc], valid[:nloc]
         vals = gather_planes([rho_plane, press_plane, fx, fy, fz], flat_f)
         rho = jnp.where(valid_f, vals[:, 0], d0)
@@ -446,11 +479,12 @@ def make_dense_halo_pcisph_step(mesh, spec: DenseSlabSpec,
             if boundary:
                 star_entries = jnp.concatenate(
                     [star_entries, entries[nloc:]], axis=0)
+            # Frozen binning -> frozen (already-exchanged) mask: skip the
+            # per-iteration mask scatter entirely.
             p_star = build_planes(
                 {"x": star_entries[:, 0], "y": star_entries[:, 1],
-                 "z": star_entries[:, 2]}, flat, valid, lspec)
+                 "z": star_entries[:, 2]}, flat, valid, lspec, mask=mask_x)
             p_star = _exchange_all(p_star, lspec, ("x", "y", "z"))
-            p_star["mask"] = mask_x           # frozen binning -> frozen mask
             p_star = _shift_ghost_x(p_star, lspec, spec.slab_width)
 
             rho_star_plane = density_planes(p_star, lspec, k, params.mass)

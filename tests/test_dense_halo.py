@@ -318,6 +318,10 @@ def test_distributed_gradients_match_single_chip(setup):
     from dieselfluid_tpu.parallel.halo import AXIS
 
     params, s0, spec, mesh = setup
+    # Random velocities: at rest the viscosity force is identically zero
+    # and d(loss)/d(mu) is a trivial 0 — perturb so it is exercised.
+    s0 = s0._replace(vel=jax.random.normal(
+        jax.random.PRNGKey(7), s0.vel.shape, jnp.float32) * 0.05)
     mats = Materials.from_params(params)
     gspec = DenseCellSpec.for_domain(
         (spec.lo, spec.lo, spec.lo),

@@ -20,3 +20,9 @@ if os.environ.get("DSLTPU_HW") != "1":
     # (tests/test_tpu_hardware.py); everything else should be run separately.
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running stress/soak tests (still in the "
+        "default run; deselect with -m 'not slow')")

@@ -659,6 +659,55 @@ def viscosity_force_planes(planes, rho_plane, spec: DenseCellSpec,
 
 
 # ---------------------------------------------------------------------------
+# Prefolded pressure sweep — the PCISPH correction loop's hot kernel
+# ---------------------------------------------------------------------------
+#
+# The symmetric pressure coefficient p_i/rho_i^2 + p_j/rho_j^2 is a sum of
+# PER-SLOT quantities: folding pq = p/rho_ff^2 into one plane outside the
+# sweep drops the press kernel from 6 input channels to 5 and removes both
+# per-pair divides (multi-op on the VPU) — and distributed callers exchange
+# ONE ghost plane per correction iteration instead of two. Forward-only
+# (the correction while_loop is not differentiated; the unrolled grad path
+# uses the rho/press-channel sweeps above).
+
+_PQ_IN = ("x", "y", "z", "mask", "pq")
+
+
+def _press_pq_pair(k: KernelCoeffs):
+    h, b_w = float(k.h), float(k.b)
+    h2, inv_h = h * h, 1.0 / h
+
+    def pair(own, cand):
+        dx = cand["x"] - own["x"]
+        dy = cand["y"] - own["y"]
+        dz = cand["z"] - own["z"]
+        d2 = dx * dx + dy * dy + dz * dz
+        live = (d2 > _EPS) & (d2 < h2) & (cand["mask"] > 0)
+        inv_d = jax.lax.rsqrt(jnp.where(live, d2, 1.0))
+        q1 = 1.0 - d2 * inv_d * inv_h
+        s_p = jnp.where(live, (own["pq"] + cand["pq"]) * (b_w * q1 * q1)
+                        * inv_d, 0.0)
+        return (s_p * dx, s_p * dy, s_p * dz)
+
+    return pair
+
+
+def pressure_force_pq_planes(planes, pq_plane, spec: DenseCellSpec,
+                             k: KernelCoeffs, mass, active=None):
+    """Pressure force from a prefolded pq = press/rho_ff^2 plane; the mass^2
+    scale applies outside (mass may be traced). Same math as
+    pressure_force_planes given pq built with the same clamped divisor."""
+    ins = dict(planes)
+    ins["pq"] = pq_plane
+    fx, fy, fz = _sweep(_press_pq_pair(k), _PQ_IN, 3,
+                        [ins[n] for n in _PQ_IN], spec, active=active)
+    m = planes["mask"]
+    m2 = mass * mass
+    return (m2 * _mask_where(m, fx), m2 * _mask_where(m, fy),
+            m2 * _mask_where(m, fz))
+
+
+# ---------------------------------------------------------------------------
 # Active-gated sweeps — PCISPH convergence skipping (forward-only)
 # ---------------------------------------------------------------------------
 #

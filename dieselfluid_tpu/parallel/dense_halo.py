@@ -60,6 +60,7 @@ from dieselfluid_tpu.ops.pallas_sph import (
     density_planes,
     force_planes,
     pressure_force_planes,
+    pressure_force_pq_planes,
 )
 from dieselfluid_tpu.ops.smoothing import KernelCoeffs, tait_eos
 from dieselfluid_tpu.parallel.halo import AXIS, SlabState, _migrate
@@ -493,12 +494,14 @@ def make_dense_halo_pcisph_step(mesh, spec: DenseSlabSpec,
             err = (rho_star - d0) * alive
             pressure = jnp.maximum(c.pressure + delta * err, 0.0)
 
-            press_plane = _exchange_ghost_columns(scatter(pressure), lspec)
+            # Prefolded pq = press/rho_ff^2: ONE scatter + ONE ghost-column
+            # exchange per correction iteration instead of two of each
+            # (boundary slots have zero pressure, so their pq is 0).
             rho_ff = jnp.maximum(rho_star, 0.5 * d0)
-            rff_plane = _exchange_ghost_columns(
-                scatter(rho_ff, boundary_value=d0), lspec)
-            fx_p, fy_p, fz_p = pressure_force_planes(
-                planes, rff_plane, press_plane, lspec, k, params.mass)
+            pq_plane = _exchange_ghost_columns(
+                scatter(pressure / (rho_ff * rho_ff)), lspec)
+            fx_p, fy_p, fz_p = pressure_force_pq_planes(
+                planes, pq_plane, lspec, k, params.mass)
             f_p = jnp.where(valid_f[:, None],
                             gather_planes([fx_p, fy_p, fz_p], flat_f), 0.0)
             max_ratio = jax.lax.pmax(jnp.max(err) / d0, AXIS)

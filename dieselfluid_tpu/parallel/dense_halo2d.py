@@ -308,7 +308,7 @@ def make_dense_halo_pcisph_step_2d(mesh, spec: DenseSlab2DSpec,
     ghost exchange delivers neighbor boundary cells, mirroring the 1-D
     path's no-double-counting convention."""
     from dieselfluid_tpu.ops.pallas_sph import (
-        pressure_force_planes,
+        pressure_force_pq_planes,
         viscosity_force_planes,
     )
     from dieselfluid_tpu.solvers.pcisph import _Carry
@@ -407,12 +407,13 @@ def make_dense_halo_pcisph_step_2d(mesh, spec: DenseSlab2DSpec,
             err = (rho_star - d0) * alive
             pressure = jnp.maximum(c.pressure + delta * err, 0.0)
 
-            press_plane = _exchange_plane_2d(scatter(pressure), lspec)
-            rff_plane = _exchange_plane_2d(
-                scatter(jnp.maximum(rho_star, 0.5 * d0), boundary_value=d0),
-                lspec)
-            fx, fy, fz = pressure_force_planes(planes, rff_plane, press_plane,
-                                               lspec, k, params.mass)
+            # Prefolded pq: one scatter + one 2-D ghost exchange per
+            # iteration instead of two of each (boundary pq is 0).
+            rho_ff = jnp.maximum(rho_star, 0.5 * d0)
+            pq_plane = _exchange_plane_2d(
+                scatter(pressure / (rho_ff * rho_ff)), lspec)
+            fx, fy, fz = pressure_force_pq_planes(planes, pq_plane,
+                                                  lspec, k, params.mass)
             f_p = jnp.where(valid_f[:, None],
                             gather_planes([fx, fy, fz], flat_f), 0.0)
             max_ratio = jax.lax.pmax(jnp.max(err) / d0, axes)

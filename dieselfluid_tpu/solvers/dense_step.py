@@ -31,7 +31,7 @@ from dieselfluid_tpu.ops.pallas_sph import (
     density_planes_active,
     force_planes,
     pressure_force_planes,
-    pressure_force_planes_active,
+    pressure_force_pq_planes,
     viscosity_force_planes,
 )
 from dieselfluid_tpu.ops.smoothing import KernelCoeffs, tait_eos
@@ -321,11 +321,12 @@ def dense_pcisph_step(
             press = jnp.where(
                 fluid_occ, jnp.maximum(c.press_plane + delta * err, 0.0),
                 0.0)
-            rff = jnp.where(bnd_p > 0, d0,
-                            jnp.where(occ, jnp.maximum(rho_star, 0.5 * d0),
-                                      0.0))
-            fx, fy, fz = pressure_force_planes(planes, rff, press, spec, k,
-                                               mass)
+            # Prefolded pq = press / rho_ff^2: boundary slots have zero
+            # pressure so their pq is 0 regardless of divisor — the rff
+            # plane collapses into this one elementwise expression.
+            rff = jnp.maximum(rho_star, 0.5 * d0)
+            pq = jnp.where(fluid_occ, press / (rff * rff), 0.0)
+            fx, fy, fz = pressure_force_pq_planes(planes, pq, spec, k, mass)
             max_ratio = jnp.max(err) / d0
             return _PlaneCarry(c.it + 1, max_ratio, press, fx, fy, fz)
 
@@ -391,11 +392,10 @@ def dense_pcisph_step(
             pressure = jnp.where(
                 act_p, jnp.maximum(c.pressure + delta * err, 0.0),
                 c.pressure)
-            press_plane = to_plane(pressure)
-            rff_plane = to_plane(jnp.maximum(rho_star, 0.5 * d0),
-                                 boundary_value=d0)
-            fx, fy, fz = pressure_force_planes_active(
-                planes, rff_plane, press_plane, spec, k, mass, c.active)
+            rho_ff = jnp.maximum(rho_star, 0.5 * d0)
+            pq_plane = to_plane(pressure / (rho_ff * rho_ff))
+            fx, fy, fz = pressure_force_pq_planes(
+                planes, pq_plane, spec, k, mass, active=c.active)
             f_p = jnp.where(act_p[:, None],
                             gather_planes([fx, fy, fz], flat_f), c.f_p)
             max_ratio = jnp.max(jnp.where(act_p, err, 0.0)) / d0

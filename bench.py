@@ -249,8 +249,12 @@ def bench_pcisph_materials_grad_1m(n3: int = 100, frames: int = 2):
 
     def loss(m, pos):
         st = state._replace(pos=pos)
+        # unroll_iters=3: the adaptive while_loop's sustained mean is 2.84
+        # iterations on this regime (see dense_pcisph_1m) — the unrolled
+        # reverse-differentiable scan matches the observed count instead of
+        # always paying the 5-iteration cap.
         nxt, _ = dense_pcisph_step(st, params, spec, delta, materials=m,
-                                   unroll_for_grad=True)
+                                   unroll_for_grad=True, unroll_iters=3)
         # Pallas tile rasterizer with deferred-SH sky (the composite bench's
         # fast path: 1.48 s at 512k) instead of the chunked XLA splat with
         # per-sample env shading — round-3 verdict, next-step #4.

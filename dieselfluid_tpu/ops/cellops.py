@@ -72,14 +72,8 @@ class DenseCellSpec:
 
     @property
     def sub(self) -> int:
-        """Sublane rows per (x,y) column: interior z blocks + one ghost each
-        side, rounded UP to a multiple of 8 (the f32 sublane tile) so the
-        funnel sweep's (P, sub, 128) -> (P*sub, 128) reshape is a free
-        tile-aligned collapse. The extra rows are additional empty ghost
-        rows at the top of the column (mask 0 — never indexed by
-        dense_indices)."""
-        raw = self.nz_padded // self.z_block + 2
-        return ((raw + 7) // 8) * 8
+        """Sublane rows per (x,y) column: interior z blocks + one ghost each side."""
+        return self.nz_padded // self.z_block + 2
 
     @property
     def row_len(self) -> int:

@@ -162,7 +162,7 @@ def _dilate3x3(a: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("params", "spec", "delta", "bounds",
                                    "unroll_for_grad", "warm_start",
-                                   "column_skip"))
+                                   "column_skip", "unroll_iters"))
 def dense_pcisph_step(
     state: FluidState,
     params: FluidParams,
@@ -174,6 +174,7 @@ def dense_pcisph_step(
     unroll_for_grad: bool = False,
     warm_start: bool = False,
     column_skip: bool = False,
+    unroll_iters: Optional[int] = None,
 ) -> Tuple[FluidState, StepDiagnostics]:
     """One PCISPH frame on the Pallas pipeline.
 
@@ -446,8 +447,13 @@ def dense_pcisph_step(
         def scan_body(c, _):
             return ckpt_body(c), None
 
+        # unroll_iters: fixed reverse-differentiable iteration count.
+        # Defaults to the pci_max_iters cap; callers that observed the
+        # adaptive while_loop converging earlier (diag.iters) can match it
+        # and pay only that many fwd+bwd sweeps (round-3 verdict,
+        # next-step #1: "make the unroll length follow observed counts").
         carry, _ = jax.lax.scan(scan_body, init, None,
-                                length=params.pci_max_iters)
+                                length=unroll_iters or params.pci_max_iters)
     elif column_skip:
         carry = skip_loop()
     else:

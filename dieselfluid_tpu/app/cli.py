@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -69,7 +70,48 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run under failure detection: periodic device-side "
                         "health checks, rollback + dt backoff on divergence "
                         "(utils/guard.py)")
+    p.add_argument("--control", type=str, default=None,
+                   help="poll this JSON file between frames and honor "
+                        '{"paused": bool, "quit": bool} — the GUI->sim '
+                        "channel (app/serve.py POST /control writes it; "
+                        "the reference declared this RPC registry but "
+                        "never wired it, dslapp/app.go:69-75)")
     return p
+
+
+def _poll_control(path, state_cache):
+    """Honor control.json between frames. Returns 'quit'|'run'. Blocks in a
+    short sleep loop while paused (re-reading the file each time)."""
+    import json as _json
+    import time as _time
+
+    def read():
+        try:
+            mtime = os.path.getmtime(path)
+        except OSError:
+            return None
+        if state_cache.get("mtime") == mtime:
+            return state_cache.get("last")
+        try:
+            with open(path) as f:
+                parsed = _json.load(f)
+        except (OSError, ValueError):
+            return state_cache.get("last")
+        state_cache["mtime"] = mtime
+        state_cache["last"] = parsed
+        return parsed
+
+    while True:
+        c = read() or {}
+        if c.get("quit"):
+            return "quit"
+        if not c.get("paused"):
+            return "run"
+        if not state_cache.get("announced_pause"):
+            print("control: paused (POST /control {\"paused\": false} to "
+                  "resume)", flush=True)
+            state_cache["announced_pause"] = True
+        _time.sleep(0.2)
 
 
 def main(argv=None) -> int:
@@ -162,7 +204,11 @@ def main(argv=None) -> int:
     if runner is not None:
         frame = 0
         rep = None
+        ctl = {}
         while frame < args.steps:
+            if args.control and _poll_control(args.control, ctl) == "quit":
+                print(f"control: quit at frame {frame}", flush=True)
+                break
             n = min(max(1, args.render_every), args.steps - frame)
             rep = runner.run(n)
             frame += n
@@ -180,7 +226,11 @@ def main(argv=None) -> int:
             print(f"guard: {runner.recoveries} recoveries, "
                   f"dt now {runner.params.dt:.6f}")
     else:
+        ctl = {}
         for frame in range(args.steps):
+            if args.control and _poll_control(args.control, ctl) == "quit":
+                print(f"control: quit at frame {frame}", flush=True)
+                break
             diag = sim.step()
             if stream is not None and frame % args.render_every == 0:
                 import numpy as np

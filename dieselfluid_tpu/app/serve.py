@@ -29,7 +29,40 @@ import sys
 
 class RangeRequestHandler(http.server.SimpleHTTPRequestHandler):
     """SimpleHTTPRequestHandler + single-range `Range: bytes=a-b` GETs
-    (enough for the viewer's incremental .dfc tailing)."""
+    (enough for the viewer's incremental .dfc tailing) + `POST /control`.
+
+    POST /control writes the JSON body to `control.json` in the served
+    directory — the GUI->sim channel the reference's Electron shell
+    DECLARED but never wired (ref: dslapp/app.go:14-22 the
+    string-keyed RemoteHandler registry; :69-75 the dispatch, commented
+    out). A running CLI started with `--control <dir>/control.json` polls
+    the file between frames and honors {"paused": bool, "quit": bool}."""
+
+    def do_POST(self):
+        if self.path.rstrip("/") != "/control":
+            self.send_error(404, "unknown endpoint")
+            return
+        n = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(n) if 0 < n <= 1 << 16 else b"{}"
+        import json as _json
+
+        try:
+            parsed = _json.loads(body.decode("utf-8"))
+            assert isinstance(parsed, dict)
+        except Exception:
+            self.send_error(400, "control body must be a JSON object")
+            return
+        target = os.path.join(self.directory, "control.json")
+        tmp = target + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(parsed, f)
+        os.replace(tmp, target)               # atomic for the polling CLI
+        out = b'{"ok": true}'
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(out)))
+        self.end_headers()
+        self.wfile.write(out)
 
     def send_head(self):
         rng = self.headers.get("Range")

@@ -248,3 +248,117 @@ class TestStreamWriter:
         assert w.close() == 4
         plys = [f for f in os.listdir(tmp_path) if f.endswith(".ply")]
         assert len(plys) == 4
+
+
+class TestServeRange:
+    """HTTP Range support in app/serve.py — what viewer.html?live= relies
+    on to tail a growing .dfc (round-3 verdict, next-step #9)."""
+
+    @pytest.fixture()
+    def server(self, tmp_path):
+        import struct
+        import threading
+        import functools
+        import http.server
+
+        from dieselfluid_tpu.app.serve import RangeRequestHandler, install_viewer
+
+        n = 10
+        dfc = tmp_path / "live.dfc"
+        dfc.write_bytes(b"DFC1" + struct.pack("<qq", 1, n)
+                        + np.arange(2 * n * 3, dtype="<f4").tobytes())
+        install_viewer(str(tmp_path))
+        handler = functools.partial(RangeRequestHandler,
+                                    directory=str(tmp_path))
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield srv, dfc, n
+        srv.shutdown()
+
+    def test_range_requests_and_growth(self, server):
+        import struct
+        import urllib.request
+
+        srv, dfc, n = server
+        port = srv.server_address[1]
+        url = f"http://127.0.0.1:{port}/live.dfc"
+
+        def fetch(lo, hi):
+            req = urllib.request.Request(url,
+                                         headers={"Range": f"bytes={lo}-{hi}"})
+            with urllib.request.urlopen(req) as r:
+                assert r.status == 206
+                assert r.headers["Content-Range"].startswith(f"bytes {lo}-")
+                return r.read()
+
+        hdr = fetch(0, 19)
+        assert hdr[:4] == b"DFC1"
+        assert struct.unpack("<q", hdr[12:20])[0] == n
+        frame0 = fetch(20, 20 + n * 12 - 1)
+        np.testing.assert_array_equal(
+            np.frombuffer(frame0, "<f4"), np.arange(n * 3, dtype="<f4"))
+
+        # The file grows (a streaming sim appends); the tail range returns
+        # exactly the new frame's bytes.
+        with open(dfc, "ab") as f:
+            f.write(np.full(n * 3, 7.0, dtype="<f4").tobytes())
+        tail = fetch(20 + 2 * n * 12, 20 + 3 * n * 12 - 1)
+        np.testing.assert_array_equal(np.frombuffer(tail, "<f4"),
+                                      np.full(n * 3, 7.0, "<f4"))
+
+        # Unsatisfiable range -> 416; plain GET still 200.
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as e:
+            fetch(10 ** 9, 10 ** 9 + 1)
+        assert e.value.code == 416
+        with urllib.request.urlopen(url) as r:
+            assert r.status == 200
+
+
+class TestControlChannel:
+    """GUI->sim control: POST /control -> control.json -> CLI polling
+    (the reference's declared-but-unwired RPC registry, dslapp/app.go)."""
+
+    def test_post_control_and_poll(self, tmp_path):
+        import functools
+        import http.server
+        import threading
+        import urllib.request
+
+        from dieselfluid_tpu.app.cli import _poll_control
+        from dieselfluid_tpu.app.serve import RangeRequestHandler
+
+        handler = functools.partial(RangeRequestHandler,
+                                    directory=str(tmp_path))
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        port = srv.server_address[1]
+        ctl_file = str(tmp_path / "control.json")
+
+        def post(body):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/control", data=body,
+                headers={"Content-Type": "application/json"}, method="POST")
+            return urllib.request.urlopen(req).status
+
+        cache = {}
+        # no file yet -> run
+        assert _poll_control(ctl_file, cache) == "run"
+        assert post(b'{"quit": true}') == 200
+        assert json.load(open(ctl_file)) == {"quit": True}
+        assert _poll_control(ctl_file, cache) == "quit"
+        # pause then resume from another thread; poll blocks until resumed
+        assert post(b'{"paused": true}') == 200
+        t = threading.Timer(0.5, lambda: post(b'{"paused": false}'))
+        t.start()
+        assert _poll_control(ctl_file, {}) == "run"
+        t.join()
+        # malformed body rejected
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post(b'[1, 2]')
+        assert e.value.code == 400
+        srv.shutdown()

@@ -21,13 +21,13 @@ the kernel (the adjoint of a symmetric pairwise sum is another pairwise sum
 with receiver/source roles swapped), so the public ops are `jax.custom_vjp`
 functions and the dense pipeline differentiates end-to-end.
 
-Tile shaping (round-4 funnel rework): the whole (P, sub, 128) patch
-collapses to a (P*sub, 128) slab and each stencil neighbor slab is paired
-by 4*capacity-1 funnel shifts of the flattened z axis — every op is a
-fully-dense (8,128)-tiled elementwise pass at ~75% useful-pair utilization
-(the previous per-row broadcast scheme ran at ~19%; the sweep is VPU-bound,
-so this is a direct step-time lever). Cell edge >= h makes the d2 < h^2
-test exclude the out-of-window pairs each shift also touches.
+Tile shaping (round-4): the sweep is VPU-bound, broadcasts are free, and
+per-pair lane movement is the one thing the VPU punishes — so each z row
+is processed as broadcast blocks (own slots down the sublane axis, ONE
+extended candidate row window per stencil neighbor along the lane axis;
+half-row blocks for wide pairs, full-row for narrow ones — see _sweep).
+Cell edge >= h makes the d2 < h^2 test exclude non-adjacent cells inside
+the window automatically.
 
 Mosaic workaround (round-1 fault): DMA slices MUST spell out every axis with
 `pl.ds(...)` — `ref.at[pl.ds(r, 3), :, :]` mis-lowers for sublane dims that

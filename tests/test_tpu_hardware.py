@@ -106,6 +106,31 @@ class TestCompiledKernels:
             assert np.isfinite(v), (f, v)
         assert float(g.mu) != 0.0
 
+    def test_pcisph_column_skip_parity_on_chip(self, setup):
+        """The SMEM-gated active sweeps (column_skip) COMPILED on hardware,
+        tracking the ungated plane-resident loop. Exercises the per-patch
+        activity input + conditional patch skipping on the real chip."""
+        from dieselfluid_tpu.neighbors.calibrate import lattice_rest_density
+        from dieselfluid_tpu.solvers.dense_step import dense_pcisph_step
+        from dieselfluid_tpu.solvers.pcisph import compute_pci_delta
+
+        _, s, spec = setup
+        dx = 2.0 / 8 * 0.5
+        from dieselfluid_tpu.config import FluidParams
+
+        params = lattice_rest_density(dx, FluidParams.for_spacing(dx))
+        s = s._replace(vel=s.vel + jnp.asarray([0.0, -1.0, 0.0]))
+        delta = compute_pci_delta(params, dx)
+        a = b = s
+        for _ in range(3):
+            a, da = jax.jit(lambda st: dense_pcisph_step(
+                st, params, spec, delta))(a)
+            b, db = jax.jit(lambda st: dense_pcisph_step(
+                st, params, spec, delta, column_skip=True))(b)
+        assert int(da.iters) >= 2, "loop under-exercised"
+        np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos),
+                                   atol=1e-4)
+
 
 @requires_tpu
 class TestTiledRasterizerHW:

@@ -52,8 +52,16 @@ def bench_dense_wcsph(n3: int, steps: int, capacity: int = 16):
                                     capacity=capacity)
     step = jax.jit(lambda s: dense_wcsph_step(s, params, spec))
 
+    import jax.numpy as jnp
+
+    # Hard sync via a DEVICE-REDUCED scalar: fetching the full (N, 3) pos
+    # array pulls ~12 MB through the axon tunnel per window and times the
+    # network, not the TPU (measured +68 ms/step at 1M; see
+    # .claude/skills/verify/SKILL.md).
+    sync = jax.jit(lambda s: jnp.sum(s.pos))
+
     s, diag = step(state)
-    np.asarray(s.pos)                      # hard sync (compile + first step)
+    float(sync(s))                         # compile + first step
     overflow = [diag.overflow]
     # Median of 3 timed windows with spread: round-3 review saw single-run
     # spread of 2.13M vs 2.98M psteps/s for one config (round-3 verdict,
@@ -64,7 +72,7 @@ def bench_dense_wcsph(n3: int, steps: int, capacity: int = 16):
         for _ in range(steps):
             s, diag = step(s)
             overflow.append(diag.overflow)
-        np.asarray(s.pos)                  # hard sync
+        float(sync(s))                     # hard sync (scalar fetch)
         windows.append(time.perf_counter() - t0)
     assert np.isfinite(np.asarray(s.pos)).all(), "non-finite trajectory"
     n = s.pos.shape[0]
@@ -119,20 +127,23 @@ def bench_dense_pcisph(n3: int, steps: int, capacity: int = 16,
     step = jax.jit(lambda s: dense_pcisph_step(s, params, spec, delta,
                                                warm_start=True))
 
+    import jax.numpy as jnp
+
+    sync = jax.jit(lambda s: jnp.sum(s.pos))   # scalar sync (tunnel, see above)
     s, diag = step(state)
-    np.asarray(s.pos)                      # hard sync (compile + first step)
+    float(sync(s))                         # compile + first step
     overflow = [diag.overflow]
     for _ in range(burnin):
         s, diag = step(s)
         overflow.append(diag.overflow)
-    np.asarray(s.pos)                      # burn-in complete, hard sync
+    float(sync(s))                         # burn-in complete, hard sync
     iters = []
     t0 = time.perf_counter()
     for _ in range(steps):
         s, diag = step(s)
         overflow.append(diag.overflow)
         iters.append(diag.iters)
-    np.asarray(s.pos)
+    float(sync(s))
     dt = time.perf_counter() - t0
     assert np.isfinite(np.asarray(s.pos)).all(), "non-finite trajectory"
     n = s.pos.shape[0]

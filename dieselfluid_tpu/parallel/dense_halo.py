@@ -41,7 +41,6 @@ as every other PCISPH path).
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

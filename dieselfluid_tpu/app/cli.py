@@ -60,8 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference's per-frame Press=0 reset)")
     p.add_argument("--column-skip", action="store_true",
                    help="dense PCISPH: skip re-sweeping converged regions "
-                        "(tol/10 freeze threshold; production flagship "
-                        "mode, parity-tested against the ungated loop)")
+                        "(tol/10 freeze; parity-tested, but the default "
+                        "plane-resident loop measures faster in every "
+                        "regime — see dense_step.dense_pcisph_step)")
     p.add_argument("--viewer", action="store_true",
                    help="install the WebGL trajectory viewer next to the "
                         "outputs (serve with python -m "

@@ -192,16 +192,19 @@ def dense_pcisph_step(
     accumulated pressure in the returned state so the next frame's loop
     starts from it (see solvers.pcisph.pcisph_step).
 
-    `column_skip=True` (production flagship mode; forward-only, ignored
-    under unroll_for_grad) stops re-sweeping regions that have converged:
-    particles whose density-error ratio is within tolerance freeze their
-    pressure, and only patches within one patch of any out-of-tolerance
-    column are re-swept next iteration (sweep inputs are rebuilt exactly
-    everywhere, so swept patches compute exactly what the ungated loop
-    would; the deviation is bounded by the solver's own exit tolerance —
-    the per-particle pressure nudges it skips are the ones smaller than
-    delta * tol * d0). The reference's loop (pcisph.h pressure_solve:
-    266-293) re-solves every particle every iteration.
+    `column_skip=True` (forward-only, ignored under unroll_for_grad) stops
+    re-sweeping regions that have converged: only patches within one patch
+    of an out-of-tolerance column are re-swept each iteration (sweep
+    inputs are rebuilt exactly everywhere, so swept patches compute
+    exactly what the ungated loop would; the deviation is bounded an
+    order below the solver's own exit tolerance). The reference's loop
+    (pcisph.h pressure_solve:266-293) re-solves every particle every
+    iteration. MEASURED (v5e, 1M): the default plane-resident loop below
+    now BEATS this path in every regime (quiescent 312 vs 327 ms/step,
+    agitated 660 vs 871) because plane residency removed the per-iteration
+    scatters/gathers that skipping used to amortize — the gated loop still
+    runs particle-resident. Kept as a capability (parity-tested, hardware-
+    tested); make it plane-resident before using it in production.
     """
     from dieselfluid_tpu.solvers.pcisph import _Carry
 

@@ -99,6 +99,21 @@ class StreamWriter:
         self._handle = None
         self._fallback_frames = []
         lib = get_lib()
+        if lib is None:
+            # LOUD fallback (round-1 verdict: silent degradation must not
+            # look healthy): without the native library every frame buffers
+            # in host memory and the .dfc only appears at close — which
+            # also silently breaks live viewing (?live= tails the growing
+            # file). This is exactly how a round-4 missing-brace build
+            # break hid for a while.
+            import warnings
+
+            warnings.warn(
+                "libframepack build/load failed — streaming falls back to "
+                "unbounded in-memory buffering with a close-time write "
+                "(no live tailing). Build by hand to see the error: "
+                f"c++ -O3 -std=c++17 -pthread -shared -fPIC {_SRC_PATH} "
+                f"-o {_LIB_PATH}", RuntimeWarning, stacklevel=2)
         if lib is not None:
             self._handle = lib.framepack_stream_open(
                 out_dir.encode(), name.encode(), n_particles,

@@ -119,6 +119,8 @@ int framepack_read_dfc(const char* path, float* out, int64_t capacity_floats) {
     return got == static_cast<size_t>(capacity_floats) ? 0 : -2;
 }
 
+}  // extern "C"
+
 // ---------------------------------------------------------------------------
 // Async stream writer: bounded queue + worker thread.
 // ---------------------------------------------------------------------------
@@ -155,6 +157,10 @@ struct Stream {
                 size_t count = frame.size();
                 if (std::fwrite(frame.data(), sizeof(float), count, dfc)
                     != count) rc = -2;
+                // Flush per frame: live consumers (app/serve.py Range
+                // tailing) see the file grow frame-aligned, not in stdio
+                // buffer chunks.
+                std::fflush(dfc);
             } else {
                 char path[1024];
                 std::snprintf(path, sizeof(path), "%s/%s_%05lld.ply",

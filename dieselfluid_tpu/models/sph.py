@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from dieselfluid_tpu.config import CACHE_L, FluidParams, SimConfig
 from dieselfluid_tpu.models.particles import FluidState, dam_break_state, init_lattice_state
 from dieselfluid_tpu.neighbors.bruteforce import brute_force_neighborhood
-from dieselfluid_tpu.neighbors.calibrate import calibrate_rest_density
+from dieselfluid_tpu.neighbors.calibrate import lattice_rest_density
 from dieselfluid_tpu.neighbors.cellgrid import CellGridSpec, cell_grid_neighborhood
 from dieselfluid_tpu.solvers.integrate import StepDiagnostics
 from dieselfluid_tpu.solvers.pcisph import compute_pci_delta, pcisph_step
@@ -94,7 +94,12 @@ class Simulation:
             state = dam_break_state(n3, params, extent=extent)
         else:
             state = init_lattice_state(n3, params)
-        params = calibrate_rest_density(state.pos, params)
+        # Both built-in scenes start on a cubic lattice of spacing dx, so
+        # the O(1) analytic template gives the exact equilibrium d0. The
+        # O(N^2) brute-force probe is a per-config fallback for arbitrary
+        # initial states — at n3=50 its (N, N) distance matrix is 58 GB and
+        # OOMs the chip (found driving the CLI dense path at 125k).
+        params = lattice_rest_density(dx, params)
         if collider is not None:
             state = state._replace(
                 boundary_pos=collider.generate_boundary_particles(

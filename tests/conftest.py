@@ -10,7 +10,17 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # Interpret-mode Pallas work serializes across the 8 virtual devices;
+    # with the default 40 s rendezvous termination timeout, scheduling
+    # jitter can put >40 s between the first and last program reaching a
+    # collective and ABORT the whole pytest process (seen flaking on the
+    # dense-halo PCISPH tests at ~their measured runtime). Raise it — slow
+    # is fine, aborted is not.
+    flags = (flags
+             + " --xla_cpu_collective_call_terminate_timeout_seconds=600")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

@@ -123,10 +123,13 @@ def bench_dense_pcisph(n3: int, steps: int, capacity: int = 16,
     off = params.h / 4.0
     spec = DenseCellSpec.for_domain((-1 - off,) * 3, (1 + off,) * 3, params.h,
                                     capacity=capacity)
-    # column_skip measured NEUTRAL in the agitated window (753 vs 781
-    # ms/step at mean_iters 3.8 — nearly everything is unconverged, so the
-    # activity machinery only adds overhead); it pays as the fluid
-    # approaches equilibrium. Bench the agitated regime without it.
+    # column_skip measured NEUTRAL in the agitated window even after the
+    # round-4 plane-resident rewrite (506.9 vs 506.1 ms/step at mean_iters
+    # 2.95 — nearly everything stays unconverged, nothing to skip) and
+    # slightly NEGATIVE when quiescent (328 vs 312 at mean_iters 1.0 — one
+    # all-active iteration per step, bookkeeping is pure overhead). It pays
+    # only in mixed regimes (localized splash in a settled tank). Bench the
+    # agitated regime without it.
     step = jax.jit(lambda s: dense_pcisph_step(s, params, spec, delta,
                                                warm_start=True))
 

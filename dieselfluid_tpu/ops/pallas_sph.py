@@ -106,7 +106,8 @@ def active_patch_shape(spec: DenseCellSpec) -> Tuple[int, int]:
 
 def _sweep(pair_fn: Callable, in_names: Sequence[str], n_out: int,
            planes: Sequence[jnp.ndarray], spec: DenseCellSpec,
-           active: jnp.ndarray = None, scheme: str = None):
+           active: jnp.ndarray = None, scheme: str = None,
+           patch_p: int = None):
     """Run `pair_fn` over the 3x3-column z-swept stencil; n_out (rows,sub,128)
     planes of per-slot sums (rows the sweep skipped — empty columns/patches
     and ghost rows — hold garbage; callers sanitize with the mask plane).
@@ -136,7 +137,9 @@ def _sweep(pair_fn: Callable, in_names: Sequence[str], n_out: int,
     py, sub, cap = spec.py, spec.sub, spec.capacity
     n_in = len(in_names)
     nblk = sub - 2
-    P = min(8, spec.ny)
+    # patch_p: own-columns per grid program (perf experiments only; the
+    # active-grid callers assume the default 8 — active_patch_shape).
+    P = min(patch_p or 8, spec.ny)
     assert cap <= 64, "half-row windows assume capacity <= 64"
     if scheme is None:
         # v5e A/B (1M, cap 16): cheap/narrow pairs are overhead-bound and
@@ -201,18 +204,39 @@ def _sweep(pair_fn: Callable, in_names: Sequence[str], n_out: int,
                 for p in range(n_in) for gx in range(3)
             ]
 
-        @pl.when(linear == 0)
+        # Active-gated callers (PCISPH convergence skipping): inactive
+        # patches start NO channel DMAs and wait on none — the per-iteration
+        # DMA traffic shrinks with the active set again (advisor round 4:
+        # the unconditional prefetch was ~3x the bytes at low occupancy —
+        # free on one chip where the sweep is VPU-bound 40x over the HBM
+        # bound, but unbounded for sparser or bandwidth-constrained sharded
+        # slabs). Start/wait gates read the SAME SMEM act_ref entry, so a
+        # skipped start can never strand a waiter; slot reuse is safe
+        # because an inactive patch touches neither scratch slot.
+        if active is not None:
+            def act_of(lt):
+                # Clamp: the condition operand is evaluated even when the
+                # guarding `linear + 1 < total` is false (last program).
+                lt = jnp.minimum(lt, total - 1)
+                return act_ref[lt // npatch, lt % npatch] > 0
+        else:
+            def act_of(lt):
+                return jnp.bool_(True)
+
+        @pl.when((linear == 0) & act_of(linear))
         def _warm():
             for d in patch_dmas(linear, slot):
                 d.start()
 
-        @pl.when(linear + 1 < total)
+        @pl.when((linear + 1 < total) & act_of(linear + 1))
         def _prefetch():
             for d in patch_dmas(linear + 1, nxt):
                 d.start()
 
-        for d in patch_dmas(linear, slot):
-            d.wait()
+        @pl.when(act_of(linear))
+        def _wait_own():
+            for d in patch_dmas(linear, slot):
+                d.wait()
 
         # A patch with no particles in any own column skips all compute —
         # the dense layout's occupancy is data-dependent (a dam break fills
@@ -329,6 +353,20 @@ def _sweep(pair_fn: Callable, in_names: Sequence[str], n_out: int,
         assert active.shape == active_patch_shape(spec), active.shape
         args.append(active)
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    # Scoped-VMEM budget check (advisor round 4): double buffering holds
+    # 2 x 3 x (P+2) x sub x 128 f32 per input channel plus the n_out
+    # accumulators; the widest BACKWARD sweep (~12 channels) additionally
+    # stacks ~20M of vjp temporaries. Under the 100M cap that bounds
+    # sub <= ~200 (nz <= ~1580 cells at capacity 16) — far past any
+    # realistic domain aspect, but fail LOUDLY with the fallback named
+    # rather than letting Mosaic reject the kernel cryptically.
+    VJP_STACK_BYTES = 24 * 2**20
+    scratch_bytes = (n_in * 2 * 3 * (P + 2) * sub * 128 * 4
+                     + n_out * P * sub * 128 * 4)
+    assert scratch_bytes + VJP_STACK_BYTES <= 100 * 1024 * 1024, (
+        f"sweep scratch {scratch_bytes/2**20:.0f}M + ~24M vjp stack exceeds "
+        "the 100M scoped-VMEM cap: shrink the domain's z depth (sub="
+        f"{sub}) or switch this sweep to single-buffered DMAs")
     outs = pl.pallas_call(
         kernel,
         grid=(spec.nx, pl.cdiv(spec.ny, P)),
@@ -350,6 +388,14 @@ def _sweep(pair_fn: Callable, in_names: Sequence[str], n_out: int,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             vmem_limit_bytes=100 * 1024 * 1024,
+            # The cross-patch double buffering ASSUMES grid programs execute
+            # strictly sequentially in linear order on one core (each patch
+            # prefetches its successor's stencil and waits on a semaphore
+            # its predecessor signalled). Pin that contract: "arbitrary"
+            # forbids the compiler from parallelizing grid dimensions (a
+            # Megacore platform or a future default change would otherwise
+            # race the two scratch slots) — advisor round 4.
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
     )(*args)
     # The sweep never writes the ghost ROWS of its outputs (no program owns

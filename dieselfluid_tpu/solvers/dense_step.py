@@ -416,7 +416,13 @@ def dense_pcisph_step(
                 star[name] = jnp.where(fluid_occ, xs, poss[ax])
             star["mask"] = mask_p
             rho_new = density_planes_active(star, spec, k, mass, c.active)
-            rho_star = jnp.where(ar, rho_new, c.rho_star_plane)
+            # Sanitize the carry: an ACTIVE-but-EMPTY patch skips compute
+            # (patch_any gate inside the kernel), so its rho_new rows are
+            # uninitialized garbage — gating on occupancy too keeps the
+            # carried plane clean (advisor round 4: rff=max(rho_star,..)
+            # would otherwise feed NaN into pq's discarded where-branch and
+            # leak under differentiation or any future ungated read).
+            rho_star = jnp.where(ar & occ, rho_new, c.rho_star_plane)
             err = jnp.where(fluid_occ, rho_star - d0, 0.0)
             upd = ar & fluid_occ
             # Swept fluid slots update like the ungated loop (including

@@ -93,6 +93,26 @@ class DenseSlabSpec:
                              nxd=nxd, lo=lo, hi_yz=hi,
                              cell_capacity=cell_capacity)
 
+    @staticmethod
+    def build_for_state(state, n_dev: int, h: float, migrate_capacity: int,
+                        lo: float = -1.0, hi: float = 1.0,
+                        cell_capacity: int = 16,
+                        headroom: float = 2.0) -> "DenseSlabSpec":
+        """Like `build`, but the per-shard store capacity is DERIVED from
+        the initial slab-occupancy histogram (+ headroom, rounded up to a
+        multiple of 64) instead of hand-tuned (round-4 verdict #7)."""
+        import numpy as np
+
+        probe = DenseSlabSpec.build(n_dev, h, capacity=1,
+                                    migrate_capacity=migrate_capacity,
+                                    lo=lo, hi=hi, cell_capacity=cell_capacity)
+        pos = np.asarray(state.pos)
+        bx = np.clip(((pos[:, 0] - lo) / probe.slab_width).astype(int),
+                     0, n_dev - 1)
+        counts = np.bincount(bx, minlength=n_dev)
+        cap = max(64, int(-(-counts.max() * headroom // 64)) * 64)
+        return dataclasses.replace(probe, capacity=cap)
+
     @property
     def slab_width(self) -> float:
         return self.nxd * self.cell

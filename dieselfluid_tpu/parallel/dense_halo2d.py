@@ -88,6 +88,32 @@ class DenseSlab2DSpec:
                                cell=float(h), nxd=nxd, nyd=nyd, lo=lo,
                                hi_z=hi, cell_capacity=cell_capacity)
 
+    @staticmethod
+    def build_for_state(state, nx_dev: int, ny_dev: int, h: float,
+                        migrate_capacity: int, lo: float = -1.0,
+                        hi: float = 1.0, cell_capacity: int = 16,
+                        headroom: float = 2.0) -> "DenseSlab2DSpec":
+        """Like `build`, but the per-shard store capacity is DERIVED from
+        the initial occupancy histogram (+ headroom for migration and
+        transients), rounded up to a multiple of 64 — instead of a
+        hand-tuned constant that silently drops particles on a skewed
+        scene (round-4 verdict, next-step #7; fixed-capacity contract
+        analog ref: sampler/lsh/lsh.go:30-52)."""
+        import numpy as np
+
+        probe = DenseSlab2DSpec.build(nx_dev, ny_dev, h, capacity=1,
+                                      migrate_capacity=migrate_capacity,
+                                      lo=lo, hi=hi,
+                                      cell_capacity=cell_capacity)
+        pos = np.asarray(state.pos)
+        bx = np.clip(((pos[:, 0] - lo) / probe.slab_w_x).astype(int),
+                     0, nx_dev - 1)
+        by = np.clip(((pos[:, 1] - lo) / probe.slab_w_y).astype(int),
+                     0, ny_dev - 1)
+        counts = np.bincount(bx * ny_dev + by, minlength=nx_dev * ny_dev)
+        cap = max(64, int(-(-counts.max() * headroom // 64)) * 64)
+        return dataclasses.replace(probe, capacity=cap)
+
     @property
     def slab_w_x(self) -> float:
         return self.nxd * self.cell

@@ -72,7 +72,7 @@ def render_composite(
     colors: Optional[jnp.ndarray] = None,
     softness: float = 0.05,
     tri_uvs=None, textures=None, mat_base_tex=None, mat_normal_tex=None,
-    tile: int = 4096,
+    tile: Optional[int] = None,
     splat_chunk: Optional[int] = None,
     tiled_splats_k: Optional[int] = None,
 ) -> CompositeImage:

@@ -175,6 +175,74 @@ class GLTF:
             m = t @ m
         return m
 
+    # ----------------------------------------------------------- animations
+    def sample_animation(self, anim_index: int, t: float) -> Dict[int, Dict[str, np.ndarray]]:
+        """Evaluate one animation's channels at time t.
+
+        Returns {node_index: {"translation"/"rotation"/"scale"/"weights":
+        value}} with STEP, LINEAR (slerp for rotations, per spec) and
+        CUBICSPLINE (Hermite) sampler interpolation; t clamps to each
+        sampler's input range. The reference carries the full typed
+        Animation/Channel/Sampler schema but never plays it
+        (ref: gltf/gltf.go:258-312; render/scene/scene_test.go:173-219
+        placeholders) — this is the playback it was missing.
+        """
+        anim = self.animations[anim_index]
+        out: Dict[int, Dict[str, np.ndarray]] = {}
+        for ch in anim.get("channels", []):
+            target = ch.get("target", {})
+            node = target.get("node")
+            path = target.get("path")
+            if node is None or path is None:
+                continue
+            smp = anim["samplers"][ch["sampler"]]
+            times = np.atleast_1d(self.accessor_array(smp["input"])).astype(
+                np.float64)
+            vals = np.atleast_2d(self.accessor_array(smp["output"]))
+            mode = smp.get("interpolation", "LINEAR")
+            if mode == "CUBICSPLINE":
+                # Output is (in-tangent, value, out-tangent) per keyframe.
+                vals = vals.reshape(len(times), 3, -1)
+            elif path == "weights":
+                vals = vals.reshape(len(times), -1)
+            tc = float(np.clip(t, times[0], times[-1]))
+            i1 = int(np.searchsorted(times, tc, side="right"))
+            i1 = min(max(i1, 1), len(times) - 1)
+            i0 = i1 - 1
+            dt = float(times[i1] - times[i0])
+            a = 0.0 if dt <= 0 else (tc - times[i0]) / dt
+            if mode == "STEP" or len(times) == 1:
+                ik = i1 if a >= 1.0 else i0   # t at/after the last key
+                v = (vals[ik, 1] if mode == "CUBICSPLINE" else vals[ik])
+            elif mode == "CUBICSPLINE":
+                p0, m0 = vals[i0, 1], vals[i0, 2] * dt
+                p1, m1 = vals[i1, 1], vals[i1, 0] * dt
+                a2, a3 = a * a, a * a * a
+                v = ((2 * a3 - 3 * a2 + 1) * p0 + (a3 - 2 * a2 + a) * m0
+                     + (-2 * a3 + 3 * a2) * p1 + (a3 - a2) * m1)
+            elif path == "rotation":
+                v = _slerp(vals[i0], vals[i1], a)
+            else:
+                v = (1.0 - a) * vals[i0] + a * vals[i1]
+            if path == "rotation":
+                v = v / max(float(np.linalg.norm(v)), 1e-12)
+            out.setdefault(int(node), {})[path] = np.asarray(v, np.float32)
+        return out
+
+    def node_local_matrix_at(self, node_index: int, anim_index: int,
+                             t: float) -> np.ndarray:
+        """node_local_matrix with the animation's TRS overrides applied at
+        time t (an explicit `matrix` node is replaced by the animated TRS
+        for animated paths, per the GLTF spec's target semantics)."""
+        node = dict(self.nodes[node_index])
+        anim = self.sample_animation(anim_index, t).get(node_index, {})
+        if anim:
+            node.pop("matrix", None)
+            for path in ("translation", "rotation", "scale"):
+                if path in anim:
+                    node[path] = [float(x) for x in np.ravel(anim[path])]
+        return self.node_local_matrix(node)
+
     def primitive_arrays(self, mesh_index: int, prim_index: int = 0) -> Dict[str, np.ndarray]:
         """POSITION/NORMAL/TEXCOORD_0/indices arrays for one primitive.
 
@@ -209,6 +277,22 @@ class GLTF:
                                "byteLength": len(blob)}]
         with open(path, "w") as f:
             json.dump(doc, f, indent=1)
+
+
+def _slerp(q0: np.ndarray, q1: np.ndarray, a: float) -> np.ndarray:
+    """Quaternion slerp ([x, y, z, w] per GLTF), shortest arc; falls back to
+    nlerp when the quaternions are nearly parallel."""
+    q0 = q0 / max(float(np.linalg.norm(q0)), 1e-12)
+    q1 = q1 / max(float(np.linalg.norm(q1)), 1e-12)
+    d = float(np.dot(q0, q1))
+    if d < 0.0:
+        q1, d = -q1, -d
+    if d > 0.9995:
+        v = (1.0 - a) * q0 + a * q1
+        return v / max(float(np.linalg.norm(v)), 1e-12)
+    th = np.arccos(np.clip(d, -1.0, 1.0))
+    s = np.sin(th)
+    return (np.sin((1.0 - a) * th) / s) * q0 + (np.sin(a * th) / s) * q1
 
 
 def make_gltf(positions: np.ndarray, indices: np.ndarray,

@@ -24,6 +24,17 @@ os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
+try:
+    # Persistent compile cache (shared with bench.py / __graft_entry__):
+    # repeated suite runs replay their XLA compiles from disk.
+    _cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:
+    pass
+
 if os.environ.get("DSLTPU_HW") != "1":
     # Default: virtual 8-device CPU mesh, runs anywhere. DSLTPU_HW=1 keeps
     # the real TPU backend for the hardware-gated tests

@@ -54,6 +54,7 @@ def test_spec_is_cell_aligned(setup):
     assert park_cell <= ls.nz - 1
 
 
+@pytest.mark.slow
 def test_matches_single_chip_dense(setup):
     params, s0, spec, mesh = setup
     steps = 4
@@ -95,6 +96,7 @@ def test_matches_single_chip_dense(setup):
     assert vdiff < 5e-3, f"max velocity divergence {vdiff:.2e}"
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("warm_start", [True, False])
 def test_pcisph_matches_single_chip_dense(setup, warm_start):
     """Distributed dense PCISPH (plane-column halos per correction iteration,
@@ -157,6 +159,7 @@ def test_pcisph_matches_single_chip_dense(setup, warm_start):
     assert vdiff < 1e-2, f"max velocity divergence {vdiff:.2e}"
 
 
+@pytest.mark.slow
 def test_pcisph_boundary_dam_break_distributed(setup):
     """Distributed dam-break-in-boundary-box (the sharded twin of
     tests/test_boundary.py's container test; round-2 verdict, next-step #5):
@@ -207,6 +210,7 @@ def test_pcisph_boundary_dam_break_distributed(setup):
     assert dist.max() < 1e-3, f"max position divergence {dist.max():.2e}"
 
 
+@pytest.mark.slow
 def test_wcsph_2d_mesh_matches_single_chip():
     """2-D (x,y) decomposition on a 2x2 mesh (round-2 verdict, next-step #8
     stretch): y-then-x ghost exchange forwards the diagonal corners through
@@ -268,6 +272,7 @@ def test_wcsph_2d_mesh_matches_single_chip():
     assert vdiff < 5e-3, f"max velocity divergence {vdiff:.2e}"
 
 
+@pytest.mark.slow
 def test_migration_across_faces(setup):
     """Particles pushed over a slab face must land on the neighbor."""
     params, s0, spec, mesh = setup
@@ -303,6 +308,7 @@ def test_migration_across_faces(setup):
     assert alive1[1:].sum() > alive0[1:].sum()
 
 
+@pytest.mark.slow
 def test_distributed_gradients_match_single_chip(setup):
     """jax.grad THROUGH the sharded dense WCSPH step: traced Materials ride
     replicated into every shard, the shard_map transpose psums their
@@ -364,6 +370,7 @@ def test_distributed_gradients_match_single_chip(setup):
                                    err_msg=f"material grad mismatch: {f}")
 
 
+@pytest.mark.slow
 def test_pcisph_2d_mesh_boundary_matches_single_chip():
     """2-D (x,y)-decomposed dense PCISPH with boundary stores vs the
     single-chip dense step (round-3 verdict, next-step #7): per-iteration
@@ -433,3 +440,128 @@ def test_pcisph_2d_mesh_boundary_matches_single_chip():
     assert dist.max() < 1e-3, f"max position divergence {dist.max():.2e}"
     vdiff = np.abs(np.asarray(s.vel) - vel_sh[match]).max()
     assert vdiff < 1e-2, f"max velocity divergence {vdiff:.2e}"
+
+
+def test_derived_capacity_skewed_scene():
+    """build_for_state sizes shard stores from the occupancy histogram: a
+    deliberately skewed scene (every particle in one corner block) must
+    distribute with ZERO drops at the derived capacity, where a uniform
+    N/n_shards guess would drop most of it (round-4 verdict #7)."""
+    from dieselfluid_tpu.models.particles import FluidState
+    from dieselfluid_tpu.parallel.dense_halo2d import (
+        DenseSlab2DSpec,
+        distribute_2d,
+    )
+
+    n = 600
+    key = jax.random.PRNGKey(7)
+    # All particles inside [-1, -0.6]^2 x [-1, 1]: one (x0, y0) block.
+    pos = jnp.concatenate([
+        jax.random.uniform(key, (n, 2), minval=-1.0, maxval=-0.6),
+        jax.random.uniform(jax.random.PRNGKey(8), (n, 1),
+                           minval=-1.0, maxval=1.0)], axis=1)
+    state = FluidState(
+        pos=pos, vel=jnp.zeros((n, 3)),
+        force=jnp.zeros((n, 3)), density=jnp.zeros((n,)),
+        pressure=jnp.zeros((n,)))
+    spec = DenseSlab2DSpec.build_for_state(state, 2, 4, h=0.25,
+                                           migrate_capacity=32)
+    # Derived capacity covers the worst block with headroom...
+    assert spec.capacity >= n
+    slabs = distribute_2d(state, spec)
+    assert float(slabs.dropped) == 0.0
+    assert float(jnp.sum(slabs.alive)) == n
+    # ...while a naive uniform split (n / 8 shards) would have dropped.
+    naive = DenseSlab2DSpec.build(2, 4, h=0.25, capacity=n // 8,
+                                  migrate_capacity=32)
+    assert float(distribute_2d(state, naive).dropped) > 0
+
+    from dieselfluid_tpu.parallel.dense_halo import DenseSlabSpec
+
+    spec1d = DenseSlabSpec.build_for_state(state, 4, h=0.25,
+                                           migrate_capacity=32)
+    assert spec1d.capacity >= n
+    slabs1d = distribute_dense(state, spec1d)
+    assert float(jnp.sum(slabs1d.alive)) == n
+
+
+# --------------------------------------------------------------------------
+# DEFAULT-TIER SMOKE: one step of each sharded path at tiny shapes.
+# The full single-chip parity oracles above are @slow (they dominated a
+# ~40-minute default suite, round-4 verdict weak #3); these keep every
+# sharded code path exercised on a fresh clone in seconds.
+# --------------------------------------------------------------------------
+
+
+def _smoke_state(n3=6):
+    extent = 0.5
+    dx = (2.0 / n3) * extent
+    params = FluidParams.for_spacing(dx)
+    s0 = dam_break_state(n3, params, extent=extent)
+    params = params.replace(d0=float(1.1 * params.d0))
+    return params, s0
+
+
+def test_smoke_wcsph_halo_step():
+    params, s0 = _smoke_state()
+    spec = DenseSlabSpec.build(N_DEV, params.h, capacity=256,
+                               migrate_capacity=64, cell_capacity=16)
+    mesh = particle_mesh(N_DEV)
+    slabs = distribute_dense(s0, spec)
+    assert float(slabs.dropped) == 0.0
+    step = make_dense_halo_wcsph_step(mesh, spec, params)
+    with pltpu.force_tpu_interpret_mode():
+        slabs, max_vel, n_live, cell_ovf, per_slab = jax.block_until_ready(
+            step(slabs))
+    assert int(n_live) == s0.n
+    assert int(cell_ovf) == 0
+    assert bool(jnp.isfinite(max_vel))
+    pos_sh, _ = collect(slabs)
+    assert np.isfinite(pos_sh).all()
+
+
+def test_smoke_pcisph_halo_boundary_step():
+    from dieselfluid_tpu.geometry.mesh import box
+    from dieselfluid_tpu.parallel.dense_halo import make_dense_halo_pcisph_step
+    from dieselfluid_tpu.solvers.pcisph import compute_pci_delta
+
+    params, s0 = _smoke_state()
+    s0 = s0._replace(
+        boundary_pos=box(1.6, 1.6, 1.6).generate_boundary_particles(1.0))
+    spec = DenseSlabSpec.build(N_DEV, params.h, capacity=256,
+                               migrate_capacity=64, cell_capacity=16)
+    mesh = particle_mesh(N_DEV)
+    delta = compute_pci_delta(params, 2.0 / 6 * 0.5)
+    slabs = distribute_dense(s0, spec)
+    step = make_dense_halo_pcisph_step(mesh, spec, params, delta,
+                                       boundary=True, warm_start=True)
+    with pltpu.force_tpu_interpret_mode():
+        slabs, max_vel, n_live, cell_ovf, per_slab = jax.block_until_ready(
+            step(slabs))
+    assert int(n_live) == s0.n
+    assert bool(jnp.isfinite(max_vel))
+
+
+def test_smoke_2d_mesh_step():
+    from dieselfluid_tpu.parallel.dense_halo2d import (
+        DenseSlab2DSpec,
+        distribute_2d,
+        make_dense_halo_pcisph_step_2d,
+        make_mesh_2d,
+    )
+    from dieselfluid_tpu.solvers.pcisph import compute_pci_delta
+
+    params, s0 = _smoke_state()
+    spec2d = DenseSlab2DSpec.build_for_state(s0, 2, 2, params.h,
+                                             migrate_capacity=32,
+                                             cell_capacity=16)
+    mesh2d = make_mesh_2d(2, 2)
+    delta = compute_pci_delta(params, 2.0 / 6 * 0.5)
+    slabs = distribute_2d(s0, spec2d)
+    assert float(slabs.dropped) == 0.0
+    step = make_dense_halo_pcisph_step_2d(mesh2d, spec2d, params, delta,
+                                          warm_start=True)
+    with pltpu.force_tpu_interpret_mode():
+        slabs, v2d, n2d, ovf2d, per2d = jax.block_until_ready(step(slabs))
+    assert int(n2d) == s0.n
+    assert bool(jnp.isfinite(v2d))

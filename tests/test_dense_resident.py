@@ -174,3 +174,153 @@ class TestResidentParity:
                                    atol=1e-6)
         np.testing.assert_allclose(np.asarray(out.vel), np.asarray(s.vel),
                                    atol=1e-6)
+
+
+class TestPcisphResident:
+    def test_skin_zero_matches_per_step(self, setup):
+        from dieselfluid_tpu.solvers.dense_resident import (
+            dense_pcisph_resident_step,
+        )
+        from dieselfluid_tpu.solvers.dense_step import dense_pcisph_step
+        from dieselfluid_tpu.solvers.pcisph import compute_pci_delta
+
+        params, s, spec = setup
+        delta = compute_pci_delta(params, 0.125)
+        ps = plane_state_from_fluid(s, spec)
+        ref = s
+        with pltpu.force_tpu_interpret_mode():
+            # Step 1 is BITWISE identical (measured dpos = 0.0): the two
+            # paths run the same plane math on the same binning.
+            ps, iters = dense_pcisph_resident_step(ps, params, spec, delta,
+                                                   skin=0.0)
+            ref, diag = dense_pcisph_step(ref, params, spec, delta,
+                                          warm_start=True)
+            out = fluid_state_from_planes(ps, s.n, params, spec)
+            np.testing.assert_allclose(np.asarray(out.pos),
+                                       np.asarray(ref.pos), atol=1e-7)
+            assert int(iters) == int(diag.iters)
+        # Multi-step parity needs REGULAR dynamics: the stiff inflated-d0
+        # fixture transitions to a chaotic compression blowup by step 3
+        # (measured max|v| ~ 110 — ulp-level FMA differences between the
+        # two compiled programs then diverge arbitrarily). The calibrated
+        # equilibrium config is well-posed; three frames stay tight.
+        from dieselfluid_tpu.neighbors.calibrate import lattice_rest_density
+
+        n3, extent = 8, 0.5
+        dx = (2.0 / n3) * extent
+        cparams = lattice_rest_density(dx, FluidParams.for_spacing(dx))
+        cs = dam_break_state(n3, cparams, extent=extent)
+        cspec = DenseCellSpec.for_domain((-1, -1, -1), (1, 1, 1), cparams.h,
+                                         capacity=16)
+        cdelta = compute_pci_delta(cparams, dx)
+        cps = plane_state_from_fluid(cs, cspec)
+        cref = cs
+        with pltpu.force_tpu_interpret_mode():
+            for _ in range(3):
+                cps, _ = dense_pcisph_resident_step(cps, cparams, cspec,
+                                                    cdelta, skin=0.0)
+                cref, _ = dense_pcisph_step(cref, cparams, cspec, cdelta,
+                                            warm_start=True)
+        cout = fluid_state_from_planes(cps, cs.n, cparams, cspec)
+        np.testing.assert_allclose(np.asarray(cout.pos),
+                                   np.asarray(cref.pos), atol=1e-5)
+        assert int(cps.rebuilds) == 3
+
+    def test_warm_pressure_survives_rebuild(self, setup):
+        from dieselfluid_tpu.ops.cellops import gather_plane
+        from dieselfluid_tpu.solvers.dense_resident import (
+            dense_pcisph_resident_step,
+        )
+        from dieselfluid_tpu.solvers.pcisph import compute_pci_delta
+
+        params, s, spec = setup
+        delta = compute_pci_delta(params, 0.125)
+        ps = plane_state_from_fluid(s, spec)
+        with pltpu.force_tpu_interpret_mode():
+            ps, _ = dense_pcisph_resident_step(ps, params, spec, delta,
+                                               skin=0.0)   # forces a rebuild
+        press = np.asarray(gather_plane(ps.planes["press"], ps.flat[:s.n]))
+        ok = np.asarray(ps.valid[:s.n])
+        # The inflated-d0 fixture compresses: warm pressure must be nonzero
+        # somewhere AND have ridden through the rebuild's gather/scatter.
+        assert press[ok].max() > 0.0
+
+    def test_amortized_rebuilds(self):
+        """Near-equilibrium config (production-style calibrated d0, resting
+        start): displacements stay under the skin and the binning survives
+        several frames. (The shared fixture deliberately inflates d0, which
+        compresses hard enough to cross the skin every step — correct
+        behavior, but it exercises the trigger, not the amortization.)"""
+        from dieselfluid_tpu.neighbors.calibrate import lattice_rest_density
+        from dieselfluid_tpu.solvers.dense_resident import (
+            dense_pcisph_resident_step,
+        )
+        from dieselfluid_tpu.solvers.pcisph import compute_pci_delta
+
+        n3, extent = 8, 0.5
+        dx = (2.0 / n3) * extent
+        params = lattice_rest_density(dx, FluidParams.for_spacing(dx))
+        s = dam_break_state(n3, params, extent=extent)
+        spec = DenseCellSpec.for_domain((-1, -1, -1), (1, 1, 1), params.h,
+                                        capacity=16)
+        delta = compute_pci_delta(params, dx)
+        steps = 4
+        ps = plane_state_from_fluid(s, spec)
+        with pltpu.force_tpu_interpret_mode():
+            for _ in range(steps):
+                ps, _ = dense_pcisph_resident_step(ps, params, spec, delta,
+                                                   skin=0.05)
+        assert int(ps.rebuilds) < steps
+        assert int(ps.overflow) == 0
+        out = fluid_state_from_planes(ps, s.n, params, spec)
+        assert np.all(np.isfinite(np.asarray(out.pos)))
+
+
+@pytest.mark.slow
+def test_unroll_iteration_gradient_bias():
+    """Quantify the fixed-unroll gradient bias (round-4 verdict #8): the
+    reverse-differentiable PCISPH scan at unroll_iters=3 vs the 5-iteration
+    (pci_max_iters cap) oracle, at an agitated state.
+
+    MEASURED (512 particles, CPU interpret, round 5):
+        rel |g3-g5|/|g5| = 0.169,  rel |g4-g5|/|g5| = 0.094,
+        cos(g3, g5) = 0.9856
+    The bias shrinks with unroll length and the DIRECTION is essentially
+    unbiased (cosine > 0.98), so unroll_iters=3 — matching the adaptive
+    forward's sustained mean (2.9-3.8 iters) — keeps descent-quality
+    gradients at 60% of the 5-iteration cost; that is the data behind the
+    bench's default. Asserted at 2x the measured values."""
+    from dieselfluid_tpu.neighbors.calibrate import lattice_rest_density
+    from dieselfluid_tpu.solvers.dense_step import dense_pcisph_step
+    from dieselfluid_tpu.solvers.pcisph import compute_pci_delta
+
+    n3, extent = 8, 0.5
+    dx = (2.0 / n3) * extent
+    params = lattice_rest_density(dx, FluidParams.for_spacing(dx))
+    state = dam_break_state(n3, params, extent=extent)
+    delta = compute_pci_delta(params, dx)
+    off = params.h / 4.0
+    spec = DenseCellSpec.for_domain((-1 - off,) * 3, (1 + off,) * 3,
+                                    params.h, capacity=16)
+    with pltpu.force_tpu_interpret_mode():
+        s = state
+        for _ in range(5):
+            s, diag = dense_pcisph_step(s, params, spec, delta,
+                                        warm_start=True)
+
+        def loss_of(unroll):
+            def loss(pos):
+                nxt, _ = dense_pcisph_step(
+                    s._replace(pos=pos), params, spec, delta,
+                    unroll_for_grad=True, unroll_iters=unroll)
+                return jnp.sum(jnp.sin(3.0 * nxt.pos))
+            return loss
+
+        g3 = jax.grad(loss_of(3))(s.pos)
+        g5 = jax.grad(loss_of(5))(s.pos)
+    n5 = float(jnp.linalg.norm(g5))
+    rel = float(jnp.linalg.norm(g3 - g5)) / n5
+    cos = float(jnp.sum(g3 * g5)) / (float(jnp.linalg.norm(g3)) * n5)
+    assert np.isfinite(rel) and np.isfinite(cos)
+    assert rel < 0.35, rel          # 2x measured 0.169
+    assert cos > 0.95, cos          # measured 0.9856

@@ -160,6 +160,7 @@ class TestMaterialsGradients:
             assert np.isfinite(d)
             np.testing.assert_allclose(d, x, rtol=5e-3, err_msg=f)
 
+    @pytest.mark.slow
     def test_dense_pcisph_unroll_grad_matches_xla(self, setup):
         """Reverse-mode through the fixed-iteration PCISPH scan: traced mu/d0
         gradients on the dense Pallas path vs the XLA gather path (both
@@ -263,6 +264,7 @@ class TestKernelsInterpreted:
 class TestColumnSkip:
     """PCISPH convergence skipping (round-3 verdict, next-step #1)."""
 
+    @pytest.mark.slow
     def test_column_skip_tracks_ungated_loop(self, setup):
         """column_skip=True must track the ungated while_loop to within the
         solver's own exit tolerance (the pressure nudges it skips are the

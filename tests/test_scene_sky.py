@@ -208,3 +208,110 @@ class TestRaytrace:
 
         g = float(jax.grad(loss)(0.35))
         assert np.isfinite(g) and g != 0.0
+
+
+class TestAnimation:
+    """GLTF animation playback (the schema the reference parses but never
+    plays, ref: gltf/gltf.go:258-312)."""
+
+    @pytest.fixture(scope="class")
+    def animated(self):
+        times = np.asarray([0.0, 1.0, 2.0], np.float32)
+        trans = np.asarray([[0, 0, 0], [1, 0, 0], [1, 1, 0]], np.float32)
+        rott = np.asarray([0.0, 1.0], np.float32)
+        s = np.sin(np.pi / 4)
+        rots = np.asarray([[0, 0, 0, 1], [0, 0, s, np.cos(np.pi / 4)]],
+                          np.float32)                   # identity -> 90deg z
+        scls = np.asarray([[1, 1, 1], [2, 2, 2]], np.float32)
+        buf = (times.tobytes() + trans.tobytes() + rott.tobytes()
+               + rots.tobytes() + scls.tobytes())
+        offs = np.cumsum([0, times.nbytes, trans.nbytes, rott.nbytes,
+                          rots.nbytes])
+        doc = {
+            "asset": {"version": "2.0"},
+            "nodes": [{"translation": [5, 0, 0]}],
+            "buffers": [{"byteLength": len(buf)}],
+            "bufferViews": [
+                {"buffer": 0, "byteOffset": int(o), "byteLength": int(n)}
+                for o, n in zip(offs, [times.nbytes, trans.nbytes,
+                                       rott.nbytes, rots.nbytes, scls.nbytes])
+            ],
+            "accessors": [
+                {"bufferView": 0, "componentType": 5126, "count": 3, "type": "SCALAR"},
+                {"bufferView": 1, "componentType": 5126, "count": 3, "type": "VEC3"},
+                {"bufferView": 2, "componentType": 5126, "count": 2, "type": "SCALAR"},
+                {"bufferView": 3, "componentType": 5126, "count": 2, "type": "VEC4"},
+                {"bufferView": 4, "componentType": 5126, "count": 2, "type": "VEC3"},
+            ],
+            "animations": [{
+                "channels": [
+                    {"sampler": 0, "target": {"node": 0, "path": "translation"}},
+                    {"sampler": 1, "target": {"node": 0, "path": "rotation"}},
+                    {"sampler": 2, "target": {"node": 0, "path": "scale"}},
+                ],
+                "samplers": [
+                    {"input": 0, "output": 1, "interpolation": "LINEAR"},
+                    {"input": 2, "output": 3, "interpolation": "LINEAR"},
+                    {"input": 2, "output": 4, "interpolation": "STEP"},
+                ],
+            }],
+        }
+        return GLTF(doc, [buf])
+
+    def test_linear_translation(self, animated):
+        v = animated.sample_animation(0, 0.5)[0]["translation"]
+        np.testing.assert_allclose(v, [0.5, 0, 0], atol=1e-6)
+        v = animated.sample_animation(0, 1.5)[0]["translation"]
+        np.testing.assert_allclose(v, [1.0, 0.5, 0], atol=1e-6)
+        # Clamps outside the input range.
+        v = animated.sample_animation(0, 99.0)[0]["translation"]
+        np.testing.assert_allclose(v, [1, 1, 0], atol=1e-6)
+
+    def test_slerp_rotation_half_angle(self, animated):
+        v = animated.sample_animation(0, 0.5)[0]["rotation"]
+        s = np.sin(np.pi / 8)
+        np.testing.assert_allclose(v, [0, 0, s, np.cos(np.pi / 8)], atol=1e-6)
+
+    def test_step_scale(self, animated):
+        assert np.allclose(
+            animated.sample_animation(0, 0.99)[0]["scale"], [1, 1, 1])
+        assert np.allclose(
+            animated.sample_animation(0, 1.0)[0]["scale"], [2, 2, 2])
+
+    def test_node_matrix_at_time(self, animated):
+        # At t=1: translation [1,0,0] overrides the node's static [5,0,0];
+        # rotation 90deg about z maps x->y; scale STEP = 2.
+        m = animated.node_local_matrix_at(0, 0, 1.0)
+        p = m @ np.asarray([1.0, 0.0, 0.0, 1.0])
+        np.testing.assert_allclose(p[:3], [1, 2, 0], atol=1e-5)
+
+    def test_cubicspline_matches_hermite(self):
+        times = np.asarray([0.0, 1.0], np.float32)
+        # (in-tangent, value, out-tangent) per key, one float channel
+        vals = np.asarray([[0, 0, 1], [1, 2, 0]], np.float32).reshape(2, 3, 1)
+        buf = times.tobytes() + vals.tobytes()
+        doc = {
+            "asset": {"version": "2.0"}, "nodes": [{}],
+            "buffers": [{"byteLength": len(buf)}],
+            "bufferViews": [
+                {"buffer": 0, "byteOffset": 0, "byteLength": times.nbytes},
+                {"buffer": 0, "byteOffset": times.nbytes,
+                 "byteLength": vals.nbytes}],
+            "accessors": [
+                {"bufferView": 0, "componentType": 5126, "count": 2,
+                 "type": "SCALAR"},
+                {"bufferView": 1, "componentType": 5126, "count": 6,
+                 "type": "SCALAR"}],
+            "animations": [{
+                "channels": [{"sampler": 0,
+                              "target": {"node": 0, "path": "weights"}}],
+                "samplers": [{"input": 0, "output": 1,
+                              "interpolation": "CUBICSPLINE"}]}],
+        }
+        g = GLTF(doc, [buf])
+        a = 0.25
+        p0, m0, p1, m1 = 0.0, 1.0, 2.0, 1.0
+        want = ((2 * a**3 - 3 * a**2 + 1) * p0 + (a**3 - 2 * a**2 + a) * m0
+                + (-2 * a**3 + 3 * a**2) * p1 + (a**3 - a**2) * m1)
+        got = g.sample_animation(0, a)[0]["weights"]
+        np.testing.assert_allclose(got, [want], atol=1e-6)

@@ -189,6 +189,65 @@ def bench_dense_wcsph_resident(n3: int, steps: int, capacity: int = 16,
             "max_overflow": int(ps.overflow)}
 
 
+def bench_dense_pcisph_resident(n3: int, steps: int, capacity: int = 16,
+                                burnin: int = 30, skin: float = 0.05):
+    """PCISPH, plane-resident across frames (solvers.dense_resident): the
+    per-frame binning + 6-channel rebuild + gathers amortize onto the
+    displacement-triggered rebuild schedule. Same burn-in discipline as
+    bench_dense_pcisph; rebuild count reported."""
+    import jax
+    import jax.numpy as jnp
+
+    from dieselfluid_tpu.config import FluidParams
+    from dieselfluid_tpu.models.particles import dam_break_state
+    from dieselfluid_tpu.neighbors.calibrate import lattice_rest_density
+    from dieselfluid_tpu.ops.cellops import DenseCellSpec
+    from dieselfluid_tpu.solvers.dense_resident import (
+        dense_pcisph_resident_step,
+        plane_state_from_fluid,
+    )
+    from dieselfluid_tpu.solvers.pcisph import compute_pci_delta
+
+    extent = 0.5
+    dx = (2.0 / n3) * extent
+    params = FluidParams.for_spacing(dx)
+    state = dam_break_state(n3, params, extent=extent)
+    params = lattice_rest_density(dx, params)
+    delta = compute_pci_delta(params, dx)
+    off = params.h / 4.0
+    spec = DenseCellSpec.for_domain((-1 - off,) * 3, (1 + off,) * 3, params.h,
+                                    capacity=capacity)
+    ps = jax.jit(lambda s: plane_state_from_fluid(s, spec))(state)
+    step = jax.jit(lambda p: dense_pcisph_resident_step(
+        p, params, spec, delta, skin=skin, warm_start=True))
+    sync = jax.jit(lambda p: jnp.sum(p.planes["x"]))
+
+    ps, it = step(ps)
+    float(sync(ps))
+    for _ in range(burnin):
+        ps, it = step(ps)
+    float(sync(ps))
+    rb0 = int(ps.rebuilds)
+    iters = []
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        ps, it = step(ps)
+        iters.append(it)
+    float(sync(ps))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(float(jax.jit(
+        lambda p: jnp.sum(jnp.abs(p.planes["x"])))(ps)))
+    n = int(state.pos.shape[0])
+    return {"n": n, "steps": steps, "burnin": burnin,
+            "window": f"steps {burnin + 2}-{burnin + 1 + steps} of a dam break",
+            "ms_per_step": dt / steps * 1e3,
+            "psteps_per_sec": n * steps / dt,
+            "skin": skin,
+            "rebuilds_in_window": int(ps.rebuilds) - rb0,
+            "max_overflow": int(ps.overflow),
+            "mean_iters": float(np.mean(np.asarray(iters)))}
+
+
 def bench_dense_pcisph(n3: int, steps: int, capacity: int = 16,
                        burnin: int = 40):
     """PCISPH on the Pallas dense pipeline (BASELINE config 4's solver).
@@ -661,14 +720,20 @@ def main():
         value = fb["psteps_per_sec"]
     flush_details(details)
 
-    note("headline: dense 1M PCISPH sustained")
+    note("headline: dense 1M PCISPH sustained (plane-resident)")
     try:
         # 50 timed steps after a 30-step burn-in: the agitated regime
         # (mean_iters reported; round-3 verdict weak #1 demands the window
         # be disclosed). Short enough to fit the driver budget — the judge's
         # own 100-step window re-measure lives in --full.
-        pci = bench_dense_pcisph(n3=100, steps=50, burnin=30)
-        details["dense_pcisph_1m"] = pci
+        try:
+            pci = bench_dense_pcisph_resident(n3=100, steps=50, burnin=30)
+            details["dense_pcisph_1m_resident"] = pci
+        except Exception:
+            traceback.print_exc()
+            note("resident PCISPH FAILED — per-step path")
+            pci = bench_dense_pcisph(n3=100, steps=50, burnin=30)
+            details["dense_pcisph_1m"] = pci
     except Exception as e:
         traceback.print_exc()
         pci = {"error": repr(e)}

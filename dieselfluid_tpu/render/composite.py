@@ -75,6 +75,7 @@ def render_composite(
     tile: Optional[int] = None,
     splat_chunk: Optional[int] = None,
     tiled_splats_k: Optional[int] = None,
+    scene_env_mode: str = "sh",
 ) -> CompositeImage:
     """One differentiable frame: fluid + GLTF scene + sky environment.
 
@@ -85,12 +86,17 @@ def render_composite(
     only where splats do not overlap — expect small divergence on overlap
     pixels when comparing a tiled to an untiled composite.
     """
+    # scene_env_mode="sh" (default): the scene pass evaluates the sky's SH9
+    # projection instead of per-pixel cubemap gathers — the same deferred-SH
+    # trade the tiled splat pass makes, and the gathers dominated the 1080p
+    # scene time (see render_scene env_mode). Pass "cubemap" for exact
+    # texel parity.
     scene = render_scene(
         tris, tri_normals, tri_materials, materials, cam,
         jnp.asarray(light_pos, jnp.float32), light_color=light_color,
         env_cube=env_cube, width=width, height=height, tile=tile,
         tri_uvs=tri_uvs, textures=textures, mat_base_tex=mat_base_tex,
-        mat_normal_tex=mat_normal_tex,
+        mat_normal_tex=mat_normal_tex, env_mode=scene_env_mode,
     )
     # Splat background = black with zero alpha; composite supplies the scene.
     # The sky cubemap lights the FLUID too (env diffuse + reflection in

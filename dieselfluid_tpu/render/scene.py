@@ -41,14 +41,23 @@ class Scene:
     texture_paths: List[Optional[str]]
 
     @staticmethod
-    def load(path: str) -> "Scene":
-        """ref: scene.go InitScene:26 + rendersystem walk."""
+    def load(path: str, at_time: Optional[float] = None,
+             animation: int = 0) -> "Scene":
+        """ref: scene.go InitScene:26 + rendersystem walk.
+
+        `at_time`: evaluate animation channel `animation` at that time and
+        flatten with the ANIMATED node transforms (gltf.sample_animation) —
+        the playback the reference's typed Animation schema never got
+        (ref: gltf/gltf.go:258-312)."""
         g = GLTF.load(path)
         meshes: List[SceneMesh] = []
+        animated = at_time is not None and len(g.animations) > animation
 
         def visit(node_idx: int, parent: np.ndarray):
             node = g.nodes[node_idx]
-            world = parent @ g.node_local_matrix(node)
+            local = (g.node_local_matrix_at(node_idx, animation, at_time)
+                     if animated else g.node_local_matrix(node))
+            world = parent @ local
             if "mesh" in node:
                 mi = node["mesh"]
                 for pi, _ in enumerate(g.meshes[mi].get("primitives", [])):

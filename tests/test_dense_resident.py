@@ -66,6 +66,7 @@ class TestResidentParity:
         np.testing.assert_allclose(np.asarray(out.vel), np.asarray(ref.vel),
                                    atol=1e-5)
 
+    @pytest.mark.slow
     def test_skin_small_stays_close_and_amortizes(self, setup):
         """skin=0.05 amortizes rebuilds; the trajectory stays within a
         fraction of the particle spacing of the rebuild-every-step path.
@@ -177,6 +178,7 @@ class TestResidentParity:
 
 
 class TestPcisphResident:
+    @pytest.mark.slow
     def test_skin_zero_matches_per_step(self, setup):
         from dieselfluid_tpu.solvers.dense_resident import (
             dense_pcisph_resident_step,

@@ -131,6 +131,7 @@ class TestMaterialsGradients:
     factored kernels apply mass/mu/d0/gamma/w outside the sweeps, so their
     gradients flow through plain XLA around the custom-VJP plane ops."""
 
+    @pytest.mark.slow
     def test_dense_wcsph_materials_grad_matches_xla(self, setup):
         from dieselfluid_tpu.models.materials import Materials
         from dieselfluid_tpu.solvers.dense_step import dense_wcsph_step
@@ -195,6 +196,7 @@ class TestMaterialsGradients:
             assert np.isfinite(d), f
             np.testing.assert_allclose(d, x, rtol=1e-2, err_msg=f)
 
+    @pytest.mark.slow
     def test_dense_wcsph_mass_grad_fd(self, setup):
         """Full traced-mass gradient (kernels + gravity + integrator) pinned
         by central finite differences on the smooth WCSPH step."""

@@ -315,3 +315,38 @@ class TestAnimation:
                 + (-2 * a**3 + 3 * a**2) * p1 + (a**3 - a**2) * m1)
         got = g.sample_animation(0, a)[0]["weights"]
         np.testing.assert_allclose(got, [want], atol=1e-6)
+
+    def test_scene_flatten_at_time(self, animated, tmp_path):
+        """Scene.load(at_time=...) flattens with animated node transforms."""
+        import copy
+        doc = copy.deepcopy(animated.doc)
+        # Give node 0 a triangle mesh so the flatten produces geometry.
+        tri = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+        extra = tri.tobytes()
+        base = doc["buffers"][0]["byteLength"]
+        doc["buffers"][0]["byteLength"] = base + len(extra)
+        doc["bufferViews"].append(
+            {"buffer": 0, "byteOffset": base, "byteLength": len(extra)})
+        doc["accessors"].append(
+            {"bufferView": len(doc["bufferViews"]) - 1, "componentType": 5126,
+             "count": 3, "type": "VEC3",
+             "min": tri.min(0).tolist(), "max": tri.max(0).tolist()})
+        doc["meshes"] = [{"primitives": [
+            {"attributes": {"POSITION": len(doc["accessors"]) - 1}}]}]
+        doc["nodes"][0]["mesh"] = 0
+        doc["scenes"] = [{"nodes": [0]}]
+        doc["scene"] = 0
+        buf = animated.buffers[0] + extra
+        g2 = GLTF(doc, [buf])
+        p = os.path.join(tmp_path, "anim.gltf")
+        g2.save(p)
+
+        from dieselfluid_tpu.render.scene import Scene
+
+        static = Scene.load(p)                    # static TRS: [5, 0, 0]
+        np.testing.assert_allclose(static.meshes[0].positions[0], [5, 0, 0],
+                                   atol=1e-5)
+        # t=1: translation [1,0,0], rotation 90deg z (x->y), scale 2.
+        moved = Scene.load(p, at_time=1.0)
+        np.testing.assert_allclose(moved.meshes[0].positions[1], [1, 2, 0],
+                                   atol=1e-5)

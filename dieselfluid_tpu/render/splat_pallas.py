@@ -46,7 +46,11 @@ from jax.experimental.pallas import tpu as pltpu
 from dieselfluid_tpu.render.camera import Camera
 from dieselfluid_tpu.render.splat import SplatImage, _project
 
-_CHANNELS = ("u", "v", "z", "r", "mask")
+# No explicit mask channel: live slots carry r >= 0.75 (the projection
+# clip) and empty/trash slots r = 0, so occupancy is r >= 0.5 — one fewer
+# 2M-entry scatter in the binning and one fewer 66 MB plane through both
+# kernels' DMA at 1080p/k=8192.
+_CHANNELS = ("u", "v", "z", "r")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -158,7 +162,9 @@ def bin_tile_entries(u, v, z_norm, pix_r, in_front, spec: TileSpec):
     size = spec.n_tiles * spec.k
     safe = jnp.where(valid, flat, size + idx)
     planes = {}
-    vals["mask"] = jnp.where(valid, 1.0, 0.0)
+    # r doubles as the occupancy mask (see _CHANNELS): every invalid entry
+    # (out-of-frame AND overflowed) lands in a trash slot, so plane slots
+    # keep r = 0 unless a valid entry (r >= 0.75) set them.
     for name, val in vals.items():
         plane = jnp.zeros((size + n,), jnp.float32).at[safe].set(
             val, unique_indices=True)
@@ -260,22 +266,23 @@ def _fwd_kernel(spec: TileSpec, sharpness: float, depth_falloff: float,
     pair = _splat_pair(spec, sharpness, depth_falloff, emit_normals)
     k_sub, th = spec.k_sub, spec.th
 
-    def kernel(u_ref, v_ref, z_ref, r_ref, m_ref, *out_refs):
+    def kernel(u_ref, v_ref, z_ref, r_ref, *out_refs):
         for o in out_refs:
             o[0] = jnp.zeros((th, 128), jnp.float32)
         px = jax.lax.broadcasted_iota(
             jnp.int32, (1, 128), 1).astype(jnp.float32) + 0.5
         for sr in range(k_sub):
-            row_any = jnp.max(m_ref[0, sr]) > 0.0
+            row_any = jnp.max(r_ref[0, sr]) >= 0.5
 
             @pl.when(row_any)
             def _(sr=sr):
+                r_col = _col(r_ref[0, sr:sr + 1, :])
                 s = {
                     "u": _col(u_ref[0, sr:sr + 1, :]),
                     "v": _col(v_ref[0, sr:sr + 1, :]),
                     "z": _col(z_ref[0, sr:sr + 1, :]),
-                    "r": _col(r_ref[0, sr:sr + 1, :]),
-                    "mask": _col(m_ref[0, sr:sr + 1, :]),
+                    "r": r_col,
+                    "mask": (r_col >= 0.5).astype(jnp.float32),
                 }
                 for pr in range(th):
                     contribs = pair(s, px, pr + 0.5)
@@ -294,7 +301,7 @@ def _bwd_kernel(spec: TileSpec, sharpness: float, depth_falloff: float,
     k_sub, th = spec.k_sub, spec.th
     n_out = 9 if emit_normals else 6
 
-    def kernel(u_ref, v_ref, z_ref, r_ref, m_ref, *ct_and_out):
+    def kernel(u_ref, v_ref, z_ref, r_ref, *ct_and_out):
         ct_refs = ct_and_out[:n_out]
         out_refs = ct_and_out[n_out:]
         px = jax.lax.broadcasted_iota(
@@ -302,16 +309,17 @@ def _bwd_kernel(spec: TileSpec, sharpness: float, depth_falloff: float,
         for o in out_refs:
             o[0] = jnp.zeros((k_sub, 128), jnp.float32)
         for sr in range(k_sub):
-            row_any = jnp.max(m_ref[0, sr]) > 0.0
+            row_any = jnp.max(r_ref[0, sr]) >= 0.5
 
             @pl.when(row_any)
             def _(sr=sr):
+                r_col = _col(r_ref[0, sr:sr + 1, :])
                 s = {
                     "u": _col(u_ref[0, sr:sr + 1, :]),
                     "v": _col(v_ref[0, sr:sr + 1, :]),
                     "z": _col(z_ref[0, sr:sr + 1, :]),
-                    "r": _col(r_ref[0, sr:sr + 1, :]),
-                    "mask": _col(m_ref[0, sr:sr + 1, :]),
+                    "r": r_col,
+                    "mask": (r_col >= 0.5).astype(jnp.float32),
                 }
                 accs = [jnp.zeros((128, 1), jnp.float32)
                         for _ in grad_names]
@@ -341,7 +349,7 @@ def _rasterize(planes, spec: TileSpec, sharpness: float,
         _fwd_kernel(spec, sharpness, depth_falloff, emit_normals),
         grid=(spec.n_tiles,),
         in_specs=[pl.BlockSpec((1, spec.k_sub, 128), lambda t: (t, 0, 0),
-                               memory_space=pltpu.VMEM)] * 5,
+                               memory_space=pltpu.VMEM)] * len(_CHANNELS),
         out_specs=[pl.BlockSpec((1, spec.th, 128), lambda t: (t, 0, 0),
                                 memory_space=pltpu.VMEM)] * n_out,
         out_shape=out_shape,
@@ -365,7 +373,7 @@ def _rasterize_bwd(spec, sharpness, depth_falloff, emit_normals, planes,
         _bwd_kernel(spec, sharpness, depth_falloff, _GRADS, emit_normals),
         grid=(spec.n_tiles,),
         in_specs=[pl.BlockSpec((1, spec.k_sub, 128), lambda t: (t, 0, 0),
-                               memory_space=pltpu.VMEM)] * 5
+                               memory_space=pltpu.VMEM)] * len(_CHANNELS)
         + [pl.BlockSpec((1, spec.th, 128), lambda t: (t, 0, 0),
                         memory_space=pltpu.VMEM)] * n_out,
         out_specs=[pl.BlockSpec((1, spec.k_sub, 128), lambda t: (t, 0, 0),
@@ -374,9 +382,8 @@ def _rasterize_bwd(spec, sharpness, depth_falloff, emit_normals, planes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(*([planes[n] for n in _CHANNELS] + list(cts)))
-    m = planes["mask"]
-    out = {n: jnp.where(m > 0, g, 0.0) for n, g in zip(_GRADS, grads)}
-    out["mask"] = jnp.zeros_like(m)
+    live = planes["r"] >= 0.5
+    out = {n: jnp.where(live, g, 0.0) for n, g in zip(_GRADS, grads)}
     return (out,)
 
 

@@ -6,16 +6,22 @@ pass, splat binning (XLA argsort+scatter), forward rasterize kernel
 gating), full tiled splat fwd / fwd+bwd, and the composite loss fwd+bwd.
 
 MEASURED (v5e, warm cache, round 5) — before -> after the unique-set
-binning + pair-math diet (per-slot reciprocal/exp hoist, rsqrt normals):
-    bin_tile_entries fwd       156.0 -> 114.8 ms
-    fwd rasterize kernel (9ch) 232.0 -> 201.1 ms
-    rasterize fwd+bwd          516.1 -> 449.3 ms
-    full tiled splat fwd       360.6 -> 288.8 ms
-    full tiled splat fwd+bwd   987.2 -> 771.7 ms
-    scene raytrace fwd                   57.7 ms
-    composite fwd+bwd          988.6 -> 797.3 ms
+binning + pair-math diet (per-slot reciprocal/exp hoist, rsqrt normals),
+then -> after dropping the explicit mask channel (r >= 0.5 is occupancy):
+    bin_tile_entries fwd       156.0 -> 114.8 -> 103.5 ms
+    fwd rasterize kernel (9ch) 232.0 -> 201.1 -> 207.4 ms
+    rasterize fwd+bwd          516.1 -> 449.3 -> 443.3 ms
+    full tiled splat fwd       360.6 -> 288.8 -> 283.8 ms
+    full tiled splat fwd+bwd   987.2 -> 771.7 -> 767.5 ms
+    scene raytrace fwd                           50.0 ms
+    composite fwd+bwd          988.6 -> 797.3 -> 794.9 ms
 The splat path IS the composite cost (scene pass + soft depth test add
-<30 ms to the splat fwd+bwd); binning fwd is now ~40% argsort(2M)."""
+<30 ms to the splat fwd+bwd). Decomposition of the 767 ms: pos->planes
+fwd+bwd 117 (bin bwd is ~16 ms of gathers), rasterize fwd+bwd 443, image
+epilogue fwd+bwd 27; the ~180 ms remainder is chaining overhead the
+isolated-stage timings don't see (a manually inlined bin+rasterize+
+epilogue loss measures the same 767 as the public wrapper, so it is
+XLA scheduling of the composed program, not wrapper code)."""
 import sys, time
 sys.path.insert(0, "/root/repo")
 import numpy as np
